@@ -1,0 +1,242 @@
+"""Functional U-Net mask estimator (TPU-native rebuild of reference model.py).
+
+Architecture contract (reference model.py:42-201):
+
+- encoder: 6 x [Conv 5x5 stride 2 pad 2 -> BatchNorm -> LeakyReLU(0.2)],
+  channels 1->16->32->64->128->256->512, spatial (512,128) -> (8,2)
+- decoder: 6 x ConvTranspose 5x5 stride 2 pad 2 with the output pinned to the
+  mirror encoder shape (torch ``output_size=`` at model.py:183-198 — all our
+  shapes double exactly, which corresponds to ``output_padding=1``, i.e.
+  asymmetric (2,3) padding in the equivalent lhs-dilated convolution);
+  the first five deconvs are followed by [BatchNorm -> ReLU -> Dropout2d(0.5)]
+- skip connections: channel-concat [decoder_out, encoder_out] feeding the next
+  deconv (model.py:186-198)
+- final sigmoid -> soft mask in [0,1] (model.py:200)
+
+Design departures from the reference (TPU-first, not a translation):
+
+- pure functions over explicit pytrees (``init`` / ``apply``) instead of
+  ``nn.Module`` with an embedded optimizer (model.py:116) — the optimizer
+  lives in the train step (svs_tpu.train.step) where jax.grad needs it
+- NHWC layout with HWIO kernels (XLA's native TPU conv layout); the
+  (B, 1, 512, 128) NCHW patch layout of the reference is an API-edge view
+- optional bfloat16 conv compute with float32 accumulation for the MXU
+- BatchNorm running-stat updates are functional (state in, state out) and
+  match torch semantics (momentum 0.1, unbiased running var) so imported
+  reference checkpoints are bit-compatible
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from svs_tpu.utils.config import SVSConfig
+
+Params = Dict[str, Any]
+State = Dict[str, Any]
+
+_DN = ("NHWC", "HWIO", "NHWC")
+
+
+def _conv(x: jax.Array, w: jax.Array, stride: int, compute_dtype) -> jax.Array:
+    return jax.lax.conv_general_dilated(
+        x.astype(compute_dtype),
+        w.astype(compute_dtype),
+        window_strides=(stride, stride),
+        padding=((2, 2), (2, 2)),
+        dimension_numbers=_DN,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _conv_transpose(x: jax.Array, w: jax.Array, compute_dtype) -> jax.Array:
+    """Stride-2 transposed conv, kernel 5, pad 2, output_padding 1.
+
+    Equivalent lhs-dilated convolution: dilate the input 2x and convolve with
+    the (already spatially-flipped, io-transposed — see torch_import) kernel
+    under (2, 3) asymmetric padding.  This reproduces torch's
+    ``ConvTranspose2d(..., output_size=2*in)`` exactly (reference
+    model.py:183-198).
+    """
+    return jax.lax.conv_general_dilated(
+        x.astype(compute_dtype),
+        w.astype(compute_dtype),
+        window_strides=(1, 1),
+        padding=((2, 3), (2, 3)),
+        lhs_dilation=(2, 2),
+        dimension_numbers=_DN,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _batch_norm(
+    x: jax.Array,
+    scale: jax.Array,
+    bias: jax.Array,
+    mean: jax.Array,
+    var: jax.Array,
+    *,
+    train: bool,
+    eps: float,
+    momentum: float,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """torch BatchNorm2d semantics on NHWC: normalise with per-batch biased
+    variance in train mode, update running stats with unbiased variance."""
+    if train:
+        axes = (0, 1, 2)
+        batch_mean = jnp.mean(x, axis=axes)
+        batch_var = jnp.var(x, axis=axes)
+        n = x.shape[0] * x.shape[1] * x.shape[2]
+        unbiased = batch_var * (n / max(n - 1, 1))
+        new_mean = (1 - momentum) * mean + momentum * batch_mean
+        new_var = (1 - momentum) * var + momentum * unbiased
+        use_mean, use_var = batch_mean, batch_var
+    else:
+        new_mean, new_var = mean, var
+        use_mean, use_var = mean, var
+    inv = jax.lax.rsqrt(use_var + eps)
+    y = (x - use_mean) * (inv * scale) + bias
+    return y, new_mean, new_var
+
+
+def _dropout2d(x: jax.Array, rate: float, rng: jax.Array) -> jax.Array:
+    """torch Dropout2d: drop whole channel maps, scale survivors by 1/(1-p)."""
+    keep = jax.random.bernoulli(rng, 1.0 - rate, (x.shape[0], 1, 1, x.shape[3]))
+    return x * keep.astype(x.dtype) / (1.0 - rate)
+
+
+def init(rng: jax.Array, cfg: Optional[SVSConfig] = None) -> Tuple[Params, State]:
+    """Initialise parameters + BN state.
+
+    Uses torch's default conv init (kaiming-uniform with a=sqrt(5), i.e.
+    U(-1/sqrt(fan_in), 1/sqrt(fan_in)) for both weight and bias) so that
+    from-scratch training starts from the same distribution the reference did.
+    """
+    cfg = cfg or SVSConfig()
+    k = cfg.kernel_size
+    chans = (1,) + tuple(cfg.enc_channels)  # (1,16,32,64,128,256,512)
+
+    enc_p: List[Dict[str, jax.Array]] = []
+    enc_s: List[Dict[str, jax.Array]] = []
+    dec_p: List[Dict[str, jax.Array]] = []
+    dec_s: List[Dict[str, jax.Array]] = []
+
+    def uniform(key, shape, bound):
+        return jax.random.uniform(key, shape, jnp.float32, -bound, bound)
+
+    keys = iter(jax.random.split(rng, 64))
+
+    for i in range(6):
+        cin, cout = chans[i], chans[i + 1]
+        bound = 1.0 / (cin * k * k) ** 0.5
+        enc_p.append(
+            dict(
+                w=uniform(next(keys), (k, k, cin, cout), bound),
+                b=uniform(next(keys), (cout,), bound),
+                scale=jnp.ones((cout,), jnp.float32),
+                bias=jnp.zeros((cout,), jnp.float32),
+            )
+        )
+        enc_s.append(
+            dict(mean=jnp.zeros((cout,), jnp.float32),
+                 var=jnp.ones((cout,), jnp.float32))
+        )
+
+    # decoder in/out channels (reference model.py:79-109):
+    # deconv1: 512->256, deconv2: 512->128, deconv3: 256->64,
+    # deconv4: 128->32, deconv5: 64->16, deconv6: 32->1
+    dec_io = [(512, 256), (512, 128), (256, 64), (128, 32), (64, 16), (32, 1)]
+    for i, (cin, cout) in enumerate(dec_io):
+        # torch ConvTranspose2d fan_in = weight.size(1)*k*k = cout*k*k
+        bound = 1.0 / (cout * k * k) ** 0.5
+        p = dict(
+            w=uniform(next(keys), (k, k, cin, cout), bound),
+            b=uniform(next(keys), (cout,), bound),
+        )
+        if i < 5:
+            p["scale"] = jnp.ones((cout,), jnp.float32)
+            p["bias"] = jnp.zeros((cout,), jnp.float32)
+            dec_s.append(
+                dict(mean=jnp.zeros((cout,), jnp.float32),
+                     var=jnp.ones((cout,), jnp.float32))
+            )
+        dec_p.append(p)
+
+    return {"enc": enc_p, "dec": dec_p}, {"enc": enc_s, "dec": dec_s}
+
+
+def apply(
+    params: Params,
+    state: State,
+    mix: jax.Array,
+    *,
+    train: bool = False,
+    dropout_rng: Optional[jax.Array] = None,
+    cfg: Optional[SVSConfig] = None,
+) -> Tuple[jax.Array, State]:
+    """Predict the sigmoid soft mask for magnitude patches.
+
+    Args:
+      mix: (B, F, T) float magnitude patches, F=512 T=multiple-of-64
+           (reference feeds (B, 1, 512, 128) NCHW, model.py:169-175).
+      train: BatchNorm batch-stats + dropout when True (torch .train() mode).
+      dropout_rng: required when train=True.
+
+    Returns (mask (B, F, T) float32, new_state).
+    """
+    cfg = cfg or SVSConfig()
+    cdtype = jnp.dtype(cfg.compute_dtype)
+    if train and dropout_rng is None:
+        raise ValueError("train=True requires dropout_rng")
+
+    x = mix[..., None].astype(jnp.float32)  # NHWC: (B, F, T, 1)
+
+    new_state: State = {"enc": [], "dec": []}
+    skips = []
+    for i, (p, s) in enumerate(zip(params["enc"], state["enc"])):
+        x = _conv(x, p["w"], cfg.stride, cdtype) + p["b"]
+        x, m, v = _batch_norm(
+            x, p["scale"], p["bias"], s["mean"], s["var"],
+            train=train, eps=cfg.bn_eps, momentum=cfg.bn_momentum,
+        )
+        x = jnp.where(x >= 0, x, cfg.leaky_slope * x)  # LeakyReLU(0.2)
+        new_state["enc"].append(dict(mean=m, var=v))
+        skips.append(x)
+
+    drop_keys = (
+        jax.random.split(dropout_rng, 5) if train else [None] * 5
+    )
+    for i, p in enumerate(params["dec"]):
+        if i == 0:
+            inp = skips[5]
+        else:
+            inp = jnp.concatenate([x, skips[5 - i]], axis=-1)
+        x = _conv_transpose(inp, p["w"], cdtype) + p["b"]
+        if i < 5:
+            s = state["dec"][i]
+            x, m, v = _batch_norm(
+                x, p["scale"], p["bias"], s["mean"], s["var"],
+                train=train, eps=cfg.bn_eps, momentum=cfg.bn_momentum,
+            )
+            x = jnp.maximum(x, 0.0)  # ReLU
+            if train:
+                x = _dropout2d(x, cfg.dropout_rate, drop_keys[i])
+            new_state["dec"].append(dict(mean=m, var=v))
+
+    mask = jax.nn.sigmoid(x)
+    return mask[..., 0].astype(jnp.float32), new_state
+
+
+def apply_nchw(params, state, mix_nchw, **kw):
+    """Reference-layout entry: (B, 1, 512, 128) in, (B, 1, 512, 128) mask out
+    (reference model.py:169-175)."""
+    mask, new_state = apply(params, state, mix_nchw[:, 0], **kw)
+    return mask[:, None], new_state
+
+
+def param_count(params: Params) -> int:
+    return sum(int(x.size) for x in jax.tree.leaves(params))
