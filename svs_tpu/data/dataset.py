@@ -1,0 +1,151 @@
+"""Training patch sampler (host input pipeline).
+
+Mirrors the reference ``SpectrogramDataset`` semantics (reference
+train.py:65-143): per item, pick song ``idx % n_songs``, load mixture+vocal
+magnitude and phase .npy, take ``np.angle(phase)`` as float32, drop the DC
+bin (513 -> 512), apply ONE shared random 128-frame time crop to all four
+arrays (zero-pad when the song is shorter), yield (mix, voc, mix_angle,
+voc_angle).
+
+TPU-first differences from the reference's torch DataLoader (train.py:179-185):
+- spectrograms are opened once as memory-maps; a random crop reads only the
+  128 columns it needs instead of deserialising the whole song per item
+- batches are assembled as single contiguous (B, 512, 128) numpy arrays,
+  ready for one host->device transfer (the reference pays a per-tensor copy)
+- prefetching is a single background thread + queue (the sampler is I/O
+  bound; the reference's 8 worker processes mostly re-load the same .npy)
+- RNG is an explicit seeded generator so crops are reproducible (the
+  reference uses unseeded random.randint, train.py:121 — see SURVEY.md §7)
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+
+class PatchDataset:
+    def __init__(
+        self,
+        path: str,
+        samples_per_song: int = 64,
+        input_len: int = 128,
+        drop_dc: bool = True,
+    ):
+        self.path = path
+        self.mixture_path = os.path.join(path, "mixture")
+        self.vocal_path = os.path.join(path, "vocal")
+        self.samples_per_song = samples_per_song
+        self.input_len = input_len
+        self.drop_dc = drop_dc
+
+        if not os.path.exists(self.mixture_path):
+            raise FileNotFoundError(
+                f"mixture folder not found: {self.mixture_path}"
+            )
+        names = sorted(
+            f for f in os.listdir(self.mixture_path) if f.endswith("_spec.npy")
+        )
+        # keep only songs whose vocal spec exists (train.py:79)
+        self.file_names: List[str] = [
+            f for f in names
+            if os.path.exists(os.path.join(self.vocal_path, f))
+        ]
+        if not self.file_names:
+            raise FileNotFoundError(f"no paired _spec.npy files under {path}")
+        self._mmaps: Dict[str, Tuple[np.ndarray, ...]] = {}
+
+    def __len__(self) -> int:
+        return len(self.file_names) * self.samples_per_song
+
+    @property
+    def n_songs(self) -> int:
+        return len(self.file_names)
+
+    def _song_arrays(self, name: str):
+        if name not in self._mmaps:
+            phase_name = name.replace("_spec.npy", "_phase.npy")
+            self._mmaps[name] = tuple(
+                np.load(os.path.join(d, f), mmap_mode="r")
+                for d, f in (
+                    (self.mixture_path, name),
+                    (self.vocal_path, name),
+                    (self.mixture_path, phase_name),
+                    (self.vocal_path, phase_name),
+                )
+            )
+        return self._mmaps[name]
+
+    def sample(self, idx: int, rng: np.random.Generator):
+        """One training item (reference train.py:86-143)."""
+        name = self.file_names[idx % len(self.file_names)]
+        mix_m, voc_m, mix_p, voc_p = self._song_arrays(name)
+        lo = 1 if self.drop_dc else 0  # DC drop (train.py:110-113)
+        t = mix_m.shape[1]
+        l = self.input_len
+        if t > l:
+            start = int(rng.integers(0, t - l, endpoint=True))  # train.py:121
+            sl = slice(start, start + l)
+            mix = np.asarray(mix_m[lo:, sl], np.float32)
+            voc = np.asarray(voc_m[lo:, sl], np.float32)
+            mix_a = np.angle(np.asarray(mix_p[lo:, sl])).astype(np.float32)
+            voc_a = np.angle(np.asarray(voc_p[lo:, sl])).astype(np.float32)
+        else:
+            pad = ((0, 0), (0, l - t))
+            mix = np.pad(np.asarray(mix_m[lo:], np.float32), pad)
+            voc = np.pad(np.asarray(voc_m[lo:], np.float32), pad)
+            mix_a = np.pad(np.angle(np.asarray(mix_p[lo:])).astype(np.float32), pad)
+            voc_a = np.pad(np.angle(np.asarray(voc_p[lo:])).astype(np.float32), pad)
+        return mix, voc, mix_a, voc_a
+
+    def batches(
+        self,
+        batch_size: int,
+        *,
+        shuffle: bool = True,
+        seed: Optional[int] = None,
+        drop_last: bool = False,
+        prefetch: int = 2,
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        """Yield dict batches of stacked (B, 512, input_len) arrays with
+        background prefetch."""
+        rng = np.random.default_rng(seed)
+        order = np.arange(len(self))
+        if shuffle:
+            rng.shuffle(order)
+        n = len(order)
+        ends = range(batch_size, n + 1, batch_size) if drop_last else range(
+            batch_size, n + batch_size, batch_size
+        )
+        spans = [(e - batch_size, min(e, n)) for e in ends if e - batch_size < n]
+
+        def produce(q: queue.Queue):
+            try:
+                for lo_i, hi_i in spans:
+                    items = [self.sample(int(order[i]), rng)
+                             for i in range(lo_i, hi_i)]
+                    batch = {
+                        k: np.stack([it[j] for it in items])
+                        for j, k in enumerate(
+                            ("mix", "voc", "mix_angle", "voc_angle"))
+                    }
+                    q.put(batch)
+            finally:
+                q.put(None)
+
+        q: queue.Queue = queue.Queue(maxsize=prefetch)
+        t = threading.Thread(target=produce, args=(q,), daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            yield item
+
+    def steps_per_epoch(self, batch_size: int, drop_last: bool = False) -> int:
+        n = len(self)
+        return n // batch_size if drop_last else -(-n // batch_size)

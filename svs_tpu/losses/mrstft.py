@@ -1,0 +1,115 @@
+"""Multi-resolution STFT waveform loss + the patch iSTFT feeding it.
+
+Rebuilds the reference's auraloss ``MultiResolutionSTFTLoss`` (constructed at
+reference train.py:26 with default resolutions) and its ``specific_istft``
+helper (reference train.py:33-60) as jit/grad-safe JAX, so the entire
+loss graph — U-Net -> mask -> iSTFT -> 3x STFT — compiles into ONE XLA
+program instead of the reference's scattered host-driven ops.
+
+auraloss default semantics replicated:
+- resolutions (fft, hop, win) = (1024,120,600), (2048,240,1200), (512,50,240)
+- per resolution: spectral convergence  ||  |Y|-|X| ||_F / || |Y| ||_F
+  plus log-magnitude L1  mean| log|X| - log|Y| |
+- magnitudes are sqrt(clamp(|S|^2, min=1e-8)); torch.stft with centred
+  (zero-padded) hann windows and reflect padding
+- total = mean over resolutions
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from svs_tpu.ops import stft as dsp
+from svs_tpu.utils.config import SVSConfig
+
+
+def patch_istft(
+    mag: jax.Array,
+    angle: jax.Array,
+    *,
+    n_fft: int = 1024,
+    hop_length: int = 768,
+) -> jax.Array:
+    """Reference ``specific_istft`` (train.py:33-60): re-pad the dropped DC
+    bin (512 -> 513), combine magnitude with phase angle, iSTFT.
+
+    Args:  mag, angle: (..., 512, T) float (DC bin dropped at train.py:110-113).
+    Returns: (..., hop*(T-1)) float32 waveform.
+    """
+    pad = [(0, 0)] * (mag.ndim - 2) + [(1, 0), (0, 0)]
+    mag = jnp.pad(mag, pad)
+    angle = jnp.pad(angle, pad)
+    spec = dsp.polar(mag, angle)
+    return dsp.istft(spec, hop_length=hop_length, win_length=n_fft, n_fft=n_fft)
+
+
+def _spectral_mag(x: jax.Array, n_fft: int, hop: int, win: int) -> jax.Array:
+    S = dsp.stft(x, n_fft=n_fft, hop_length=hop, win_length=win,
+                 pad_mode="reflect")
+    power = jnp.real(S) ** 2 + jnp.imag(S) ** 2
+    return jnp.sqrt(jnp.clip(power, 1e-8, None))
+
+
+def stft_loss(
+    x: jax.Array,
+    y: jax.Array,
+    n_fft: int,
+    hop: int,
+    win: int,
+    w_sc: float = 1.0,
+    w_log_mag: float = 1.0,
+) -> jax.Array:
+    """Single-resolution STFT loss (auraloss STFTLoss defaults):
+    spectral convergence + log-magnitude L1.  x = prediction, y = target."""
+    x_mag = _spectral_mag(x, n_fft, hop, win)
+    y_mag = _spectral_mag(y, n_fft, hop, win)
+    sc = jnp.linalg.norm(y_mag - x_mag) / jnp.linalg.norm(y_mag)
+    log_mag = jnp.mean(jnp.abs(jnp.log(x_mag) - jnp.log(y_mag)))
+    return w_sc * sc + w_log_mag * log_mag
+
+
+def mr_stft_loss(
+    x: jax.Array,
+    y: jax.Array,
+    fft_sizes: Sequence[int] = (1024, 2048, 512),
+    hop_sizes: Sequence[int] = (120, 240, 50),
+    win_lengths: Sequence[int] = (600, 1200, 240),
+) -> jax.Array:
+    """Multi-resolution STFT loss on waveforms ``(..., T)``; prediction first,
+    target second (reference train.py:293 call order)."""
+    total = 0.0
+    for n_fft, hop, win in zip(fft_sizes, hop_sizes, win_lengths):
+        total = total + stft_loss(x, y, n_fft, hop, win)
+    return total / len(fft_sizes)
+
+
+def combined_loss(
+    mask: jax.Array,
+    mix: jax.Array,
+    voc: jax.Array,
+    mix_angle: jax.Array,
+    voc_angle: jax.Array,
+    cfg: Optional[SVSConfig] = None,
+) -> Tuple[jax.Array, dict]:
+    """The reference's full training loss (train.py:274-296):
+    alpha_L1 * (masked L1 pair) + alpha_MR * MR-STFT(pred_wav, target_wav).
+
+    pred wav uses predicted magnitude + MIXTURE phase; target wav uses true
+    vocal magnitude + vocal phase (train.py:287-290).
+    Inputs are (B, 512, T) patches.  Returns (total, aux dict).
+    """
+    from svs_tpu.losses.masked_l1 import masked_l1_pair
+
+    cfg = cfg or SVSConfig()
+    l1_total, pred_vocal = masked_l1_pair(mask, mix, voc)
+    pred_wav = patch_istft(pred_vocal, mix_angle,
+                           n_fft=cfg.window_size, hop_length=cfg.hop_size)
+    target_wav = patch_istft(voc, voc_angle,
+                             n_fft=cfg.window_size, hop_length=cfg.hop_size)
+    mr = mr_stft_loss(pred_wav, target_wav, cfg.mr_fft_sizes,
+                      cfg.mr_hop_sizes, cfg.mr_win_lengths)
+    total = cfg.alpha_l1 * l1_total + cfg.alpha_mr * mr
+    return total, {"l1": l1_total, "mr": mr, "total": total}
