@@ -1,0 +1,96 @@
+"""Checkpoint save / load / resume.
+
+The reference persists torch dicts in two formats (reference model.py:140-152
+and train.py:369-382) and resumes weights+optimizer+epoch+loss-histories
+(train.py:216-237).  The TPU build's native format is a single msgpack file of
+numpy-ified pytrees (flax.serialization) holding params, BN state, optimizer
+state, step, epoch, loss histories and best-val — same resume semantics.
+
+For cross-framework parity it can also IMPORT the reference's ``.pth``
+(weights + BN running stats; the torch Adam moments are not transferable to
+optax state and are re-initialised — documented divergence) and EXPORT a
+``.pth`` the reference scripts can load.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+from svs_tpu.models import torch_import
+from svs_tpu.train.step import TrainState
+
+
+def _to_numpy(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save(path: str, state: TrainState, *, epoch: int = 0,
+         extras: Optional[Dict[str, Any]] = None) -> None:
+    # to_state_dict flattens NamedTuples/lists into msgpack-safe plain dicts
+    payload = {
+        "params": serialization.to_state_dict(_to_numpy(state.params)),
+        "bn_state": serialization.to_state_dict(_to_numpy(state.bn_state)),
+        "opt_state": serialization.to_state_dict(_to_numpy(state.opt_state)),
+        "step": int(state.step),
+        "epoch": int(epoch),
+        "extras": extras or {},
+    }
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(serialization.msgpack_serialize(payload))
+    os.replace(tmp, path)  # atomic: a crash never corrupts the latest ckpt
+
+
+def load(path: str, template: TrainState
+         ) -> Tuple[TrainState, int, Dict[str, Any]]:
+    """Restore a native checkpoint onto a template TrainState (the template
+    supplies the pytree structure, as msgpack stores leaves only)."""
+    with open(path, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    params = serialization.from_state_dict(_to_numpy(template.params),
+                                           raw["params"])
+    bn_state = serialization.from_state_dict(_to_numpy(template.bn_state),
+                                             raw["bn_state"])
+    opt_state = serialization.from_state_dict(template.opt_state,
+                                              raw["opt_state"])
+    state = TrainState(
+        params=jax.tree.map(jnp.asarray, params),
+        bn_state=jax.tree.map(jnp.asarray, bn_state),
+        opt_state=jax.tree.map(jnp.asarray, opt_state),
+        step=jnp.asarray(raw["step"], jnp.int32),
+    )
+    return state, int(raw["epoch"]), raw.get("extras", {})
+
+
+def resume(path: str, template: TrainState
+           ) -> Tuple[TrainState, int, Dict[str, Any]]:
+    """Load either a native ``.ckpt``/msgpack file or a reference ``.pth``
+    (reference train.py:216-237 resume semantics)."""
+    if path.endswith(".pth"):
+        params, bn_state, extras = torch_import.load_pth(path)
+        state = template._replace(params=params, bn_state=bn_state)
+        return state, int(extras.get("epoch", 0)), extras
+    return load(path, template)
+
+
+def export_pth(path: str, state: TrainState, *, epoch: int = 0) -> None:
+    """Write a reference-loadable checkpoint (train.py rich-dict format,
+    reference train.py:369-382, minus torch optimizer internals)."""
+    import torch
+
+    sd = torch_import.params_to_state_dict(state.params, state.bn_state)
+    ckpt = {
+        "model_state_dict": {k: torch.from_numpy(np.array(v, copy=True))
+                             for k, v in sd.items()},
+        "epoch": int(epoch),
+        "scheduler": None,
+    }
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    torch.save(ckpt, path)

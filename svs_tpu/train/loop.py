@@ -1,0 +1,165 @@
+"""Training loop — reference train.py:239-389 behaviour, TPU-native engine.
+
+Preserved contracts:
+- LR drop to 5e-4 at epoch 400 + ``svs_<label>_400`` snapshot (train.py:251-262)
+- validation every ``val_interval`` epochs with best-checkpoint tracking
+  starting from 100.0 (train.py:209,316-355)
+- append-only text log ``LOG/log_<label>.txt``: one train-loss float per
+  epoch, ``Val <float>`` lines after each validation, buffered and flushed at
+  validation time (train.py:313-314,350,357-363,384-387) — so the reference's
+  loss_plot tooling keeps working
+- latest checkpoint written every epoch (train.py:369-382)
+
+TPU-native differences: one jitted step (no per-step host sync — metrics are
+fetched once per epoch), native msgpack checkpoints (optionally also a
+reference-loadable .pth), seeded determinism, structured JSONL metrics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Callable, Dict, List, Optional
+
+import jax
+import numpy as np
+
+from svs_tpu.data.dataset import PatchDataset
+from svs_tpu.train import checkpoint as ckpt_lib
+from svs_tpu.train.step import (TrainState, create_train_state,
+                                get_learning_rate, make_eval_step,
+                                make_optimizer, make_train_step,
+                                set_learning_rate)
+from svs_tpu.utils.config import SVSConfig
+
+
+@dataclasses.dataclass
+class TrainOptions:
+    """CLI-surface mirror of reference train.py:157-167."""
+    train_folder: str = "./data/vocals"
+    load_path: str = "result.ckpt"
+    label: str = "run"
+    epoch: int = 2
+    batch_size: int = 2
+    valid_folder: str = "unet_spectrograms/valid"
+    val_interval: int = 20
+    # TPU-build extensions
+    ckpt_dir: str = "CKPT"
+    log_dir: str = "LOG"
+    seed: int = 0
+    export_pth: bool = False
+    progress: bool = True
+    device_put: Optional[Callable] = None  # sharding hook (parallel.dp)
+
+
+def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
+    cfg = cfg or SVSConfig()
+    os.makedirs(opts.ckpt_dir, exist_ok=True)
+    os.makedirs(opts.log_dir, exist_ok=True)
+    log_file = os.path.join(opts.log_dir, f"log_{opts.label}.txt")
+    metrics_file = os.path.join(opts.log_dir, f"metrics_{opts.label}.jsonl")
+    best_weight = os.path.join(opts.ckpt_dir, f"svs_best_{opts.label}.ckpt")
+    ckpt_weight = os.path.join(opts.ckpt_dir, f"svs_{opts.label}.ckpt")
+
+    train_ds = PatchDataset(opts.train_folder,
+                            samples_per_song=cfg.samples_per_song,
+                            input_len=cfg.input_len)
+    valid_ds = None
+    if os.path.exists(opts.valid_folder):
+        try:
+            valid_ds = PatchDataset(opts.valid_folder,
+                                    samples_per_song=cfg.samples_per_song,
+                                    input_len=cfg.input_len)
+        except FileNotFoundError:
+            valid_ds = None
+    if valid_ds is None:
+        print(f"Warning: no validation folder {opts.valid_folder}; skipping "
+              "validation.")
+
+    optimizer = make_optimizer(cfg)
+    state = create_train_state(jax.random.key(opts.seed), cfg, optimizer)
+    train_step = make_train_step(cfg, optimizer)
+    eval_step = make_eval_step(cfg)
+
+    start_epoch = 0
+    if os.path.exists(opts.load_path):
+        state, start_epoch, extras = ckpt_lib.resume(opts.load_path, state)
+        print(f"Loaded checkpoint from {opts.load_path} "
+              f"(epoch {start_epoch})")
+
+    best_val_loss = 100.0  # reference train.py:209
+    log_buffer: List[str] = []
+    rng = jax.random.key(opts.seed + 1)
+    put = opts.device_put or (lambda b: b)
+
+    def _flush_log():
+        nonlocal log_buffer
+        if log_buffer:
+            with open(log_file, "a") as f:
+                f.writelines(log_buffer)
+            log_buffer = []
+
+    for ep in range(start_epoch, opts.epoch):
+        if ep == cfg.lr_drop_epoch:  # train.py:251-262
+            state = set_learning_rate(state, cfg.lr_after_drop)
+            ckpt_lib.save(
+                os.path.join(opts.ckpt_dir, f"svs_{opts.label}_400.ckpt"),
+                state, epoch=ep + 1)
+            print(f"\n[Info] Epoch {ep}: learning rate set to "
+                  f"{cfg.lr_after_drop}\n")
+
+        t0 = time.time()
+        losses = []
+        batches = train_ds.batches(opts.batch_size, shuffle=True,
+                                   seed=opts.seed * 100003 + ep)
+        if opts.progress:
+            from tqdm import tqdm
+            batches = tqdm(batches, desc=f"Epoch {ep+1}/{opts.epoch} [Train]",
+                           total=train_ds.steps_per_epoch(opts.batch_size),
+                           leave=False)
+        for i, batch in enumerate(batches):
+            rng, sub = jax.random.split(rng)
+            state, aux = train_step(state, put(batch), sub)
+            losses.append(aux["total"])  # device scalar; fetched lazily
+
+        losses = [float(x) for x in losses]
+        avg_train_loss = float(np.mean(losses)) if losses else float("nan")
+        log_buffer.append(f"{avg_train_loss}\n")
+        epoch_secs = time.time() - t0
+
+        with open(metrics_file, "a") as f:
+            f.write(json.dumps({
+                "epoch": ep + 1, "train_loss": avg_train_loss,
+                "lr": get_learning_rate(state),
+                "steps": len(losses), "secs": round(epoch_secs, 3),
+            }) + "\n")
+
+        if valid_ds is not None and (ep + 1) % opts.val_interval == 0:
+            val_losses = []
+            for batch in valid_ds.batches(opts.batch_size, shuffle=False):
+                aux = eval_step(state, put(batch))
+                val_losses.append(float(aux["total"]))
+            avg_val_loss = float(np.mean(val_losses))
+            log_buffer.append(f"Val {avg_val_loss}\n")
+            print(f"\n[Epoch {ep+1}] Train Loss: {avg_train_loss:.4e} | "
+                  f"Val Loss: {avg_val_loss:.4e}")
+            if avg_val_loss < best_val_loss:
+                best_val_loss = avg_val_loss
+                ckpt_lib.save(best_weight, state, epoch=ep + 1,
+                              extras={"best_val_loss": best_val_loss})
+                if opts.export_pth:
+                    ckpt_lib.export_pth(best_weight[:-5] + ".pth", state,
+                                        epoch=ep + 1)
+            _flush_log()
+        else:
+            print(f"Epoch {ep+1} Avg Loss: {avg_train_loss:.4e}")
+
+        ckpt_lib.save(ckpt_weight, state, epoch=ep + 1)  # latest, every epoch
+        if opts.export_pth:
+            ckpt_lib.export_pth(ckpt_weight[:-5] + ".pth", state, epoch=ep + 1)
+
+    _flush_log()
+    print("Finish training!")
+    return state
