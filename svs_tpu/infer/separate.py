@@ -1,0 +1,146 @@
+"""Whole-song separation (TPU decode path).
+
+The reference runs sliding-window inference one 128-frame segment at a time at
+batch 1, with a host->device->host round-trip per segment (reference
+inference.py:79-116).  Here a song's spectrogram is cut into ALL its segments
+at once and masked in one batched forward pass; the full wav->wav path (STFT
+-> U-Net mask -> complex-spectrogram multiply -> iSTFT) is a single jitted
+graph, so audio enters HBM once and leaves as separated audio (BASELINE.json
+north star).
+
+Segment semantics preserved from the reference (inference.py:65-123):
+- DC bin dropped before the model, zero DC row re-added after
+- non-overlapping 128-frame segments, zero-padded tail, un-padded on output
+- ``vocal_solo=False`` flips the mask to 1-mask (inference.py:102)
+- magnitudes are mask * input (inference.py:107)
+
+Shapes are bucketed (segments rounded up to a multiple of 8, samples to 2^18)
+so XLA compiles a handful of programs per run regardless of song lengths.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from svs_tpu.models import unet
+from svs_tpu.ops import stft as dsp
+from svs_tpu.utils.config import SVSConfig
+
+_SEG_BUCKET = 8
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _mask_frames(params, bn_state, mag_nodc: jax.Array, cfg: SVSConfig,
+                 vocal_solo: bool) -> jax.Array:
+    """mag_nodc: (512, T) with T a multiple of input_len. Returns the mask
+    (512, T) from the batched segment forward."""
+    f, t = mag_nodc.shape
+    seg_len = cfg.input_len
+    n_seg = t // seg_len
+    segs = mag_nodc.reshape(f, n_seg, seg_len).transpose(1, 0, 2)
+    mask, _ = unet.apply(params, bn_state, segs, train=False, cfg=cfg)
+    if not vocal_solo:
+        mask = 1.0 - mask
+    return mask.transpose(1, 0, 2).reshape(f, t)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "vocal_solo"))
+def _separate_spec_jit(params, bn_state, mag, cfg: SVSConfig,
+                       vocal_solo: bool):
+    """(513, T) normalised magnitude -> (513, T) masked magnitude
+    (reference inference.py:65-123 semantics, batched)."""
+    mask = _mask_frames(params, bn_state, mag[1:], cfg, vocal_solo)
+    pred = mag[1:] * mask
+    return jnp.concatenate([jnp.zeros((1, mag.shape[1]), mag.dtype), pred])
+
+
+def separate_magnitude(
+    params,
+    bn_state,
+    mag: np.ndarray,
+    *,
+    vocal_solo: bool = True,
+    cfg: Optional[SVSConfig] = None,
+) -> np.ndarray:
+    """Host entry: (513, T) float32 normalised magnitude -> masked magnitude,
+    any T.  Pads T to a segment-bucket multiple, slices back."""
+    cfg = cfg or SVSConfig()
+    t = mag.shape[1]
+    n_seg = max(_cdiv(t, cfg.input_len), 1)
+    n_seg_padded = _cdiv(n_seg, _SEG_BUCKET) * _SEG_BUCKET
+    t_padded = n_seg_padded * cfg.input_len
+    mag_p = np.pad(mag.astype(np.float32), ((0, 0), (0, t_padded - t)))
+    out = _separate_spec_jit(params, bn_state, jnp.asarray(mag_p), cfg,
+                             vocal_solo)
+    return np.asarray(out)[:, :t]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "vocal_solo", "both"))
+def _separate_wav_jit(params, bn_state, y, cfg: SVSConfig, vocal_solo: bool,
+                      both: bool):
+    """Padded waveform -> separated waveform(s); one XLA program.
+
+    Uses the exact complex spectrogram (true phase, not unit-phase quantised)
+    and preserves absolute scale — the reference's file-mediated pipeline
+    loses the norm factor and re-normalises to 0.9 peak (data.py:156-164);
+    the on-device path doesn't have to.
+    """
+    spec = dsp.stft(y, n_fft=cfg.window_size, hop_length=cfg.hop_size)
+    mag = jnp.abs(spec)
+    norm = jnp.maximum(jnp.max(mag), 1e-12)  # mixture-max norm (data.py:84-85)
+
+    f, t = mag.shape
+    seg = cfg.input_len
+    t_padded = _cdiv(t, seg) * seg
+    mag_in = jnp.pad(mag[1:] / norm, ((0, 0), (0, t_padded - t)))
+
+    mask = _mask_frames(params, bn_state, mag_in, cfg, vocal_solo)[:, :t]
+    mask = jnp.concatenate([jnp.zeros((1, t), mask.dtype), mask])  # DC row 0
+
+    def decode(m):
+        return dsp.istft(spec * m, hop_length=cfg.hop_size,
+                         win_length=cfg.window_size, n_fft=cfg.window_size,
+                         length=y.shape[-1])
+
+    vocal = decode(mask)
+    if both:
+        accomp = decode(1.0 - mask)
+        return vocal, accomp
+    return vocal
+
+
+_SAMPLE_BUCKET = 1 << 18
+
+
+def separate_wav(
+    params,
+    bn_state,
+    y: np.ndarray,
+    *,
+    vocal_solo: bool = True,
+    both: bool = False,
+    cfg: Optional[SVSConfig] = None,
+) -> np.ndarray | Tuple[np.ndarray, np.ndarray]:
+    """Full separation of a host waveform at the configured sample rate.
+
+    Returns the vocal estimate (or (vocal, accompaniment) with both=True),
+    same length and scale as the input.
+    """
+    cfg = cfg or SVSConfig()
+    n = len(y)
+    n_pad = _cdiv(max(n, cfg.window_size), _SAMPLE_BUCKET) * _SAMPLE_BUCKET
+    y_p = jnp.asarray(np.pad(np.asarray(y, np.float32), (0, n_pad - n)))
+    out = _separate_wav_jit(params, bn_state, y_p, cfg, vocal_solo, both)
+    if both:
+        return np.asarray(out[0])[:n], np.asarray(out[1])[:n]
+    return np.asarray(out)[:n]

@@ -1,0 +1,59 @@
+"""Device mesh + sharding helpers.
+
+The reference has no distributed support at all (SURVEY.md §2.3: single-device
+pick at train.py:19, no torch.distributed anywhere).  These are first-class
+new components: a 1-D ``data`` mesh for batch-parallel training over ICI and
+a ``time`` axis view for segment-parallel whole-song inference.  XLA inserts
+the collectives (gradient psum, gather) from sharding annotations — there is
+no hand-written NCCL analogue to port.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              axis_name: str = "data") -> Mesh:
+    """1-D mesh over the first ``n_devices`` devices (default: all)."""
+    devs = jax.devices()
+    if n_devices is not None:
+        if n_devices > len(devs):
+            raise ValueError(
+                f"requested {n_devices} devices, only {len(devs)} present"
+            )
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis_name,))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharded(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Shard dim 0 (the batch / segment axis) across the mesh."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def shard_batch(mesh: Mesh, batch, axis_name: str = "data"):
+    """Place a host batch dict onto the mesh, batch-dim sharded.
+
+    Pads the batch up to a multiple of the mesh size by repeating the last
+    item (XLA requires equal shards); training on a duplicated item once at
+    the epoch tail is the standard drop-free remainder policy.
+    """
+    n = mesh.devices.size
+    sharding = batch_sharded(mesh, axis_name)
+
+    def put(x):
+        b = x.shape[0]
+        if b % n:
+            pad = n - b % n
+            x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
+        return jax.device_put(x, sharding)
+
+    return {k: put(np.asarray(v)) for k, v in batch.items()}
