@@ -1,0 +1,7 @@
+#!/usr/bin/env python
+"""Thin shim: `python loss_plot.py ...` works exactly like the reference script
+of the same name; the implementation lives in svs_tpu.cli.lossplot_cli."""
+from svs_tpu.cli.lossplot_cli import main
+
+if __name__ == "__main__":
+    raise SystemExit(main())

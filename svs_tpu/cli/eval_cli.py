@@ -1,0 +1,103 @@
+"""``evaluate`` CLI — BSS-eval over folders of wavs.
+
+Flag surface + output format preserved from reference evaluate.py:88-182:
+  --est --mix --ref --ext --out_csv
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import glob
+import os
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Evaluate SVS results with SDR / SIR / SAR / NSDR "
+                    "(vocal only).")
+    p.add_argument("--est", type=str, required=True,
+                   help="predicted vocal wav folder")
+    p.add_argument("--mix", type=str, required=True,
+                   help="ground-truth mixture wav folder")
+    p.add_argument("--ref", type=str, required=True,
+                   help="ground-truth vocal wav folder")
+    p.add_argument("--ext", type=str, default="wav")
+    p.add_argument("--out_csv", type=str, default=None)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    import numpy as np
+
+    from svs_tpu.data import wav as wavio
+    from svs_tpu.evaluation import bss
+
+    pred_files = sorted(glob.glob(os.path.join(args.est, f"*.{args.ext}")))
+    if not pred_files:
+        print(f"[Error] No *.{args.ext} files found in {args.est}")
+        return 1
+
+    all_results = []
+    lists = {k: [] for k in ("SDR", "SIR", "SAR", "NSDR")}
+
+    print("=== Start Evaluation ===")
+    print(f"#tracks = {len(pred_files)}\n")
+
+    for pred_path in pred_files:
+        basename = os.path.basename(pred_path)
+        mix_path = os.path.join(args.mix, basename)
+        ref_path = os.path.join(args.ref, basename)
+        if not os.path.exists(mix_path):
+            print(f"[Warning] Mixture file not found, skip: {mix_path}")
+            continue
+        if not os.path.exists(ref_path):
+            print(f"[Warning] Vocal ref file not found, skip: {ref_path}")
+            continue
+        try:
+            mix, sr_mix = wavio.load_audio(mix_path, sr=None, mono=True)
+            ref, sr_ref = wavio.load_audio(ref_path, sr=None, mono=True)
+            est, sr_est = wavio.load_audio(pred_path, sr=None, mono=True)
+            if not (sr_mix == sr_ref == sr_est):
+                raise ValueError(
+                    f"Sample rate mismatch: mix={sr_mix}, ref={sr_ref}, "
+                    f"est={sr_est}")
+            metrics = bss.compute_metrics_for_track(mix, ref, est)
+        except Exception as e:
+            print(f"[Error] Failed on {basename}: {e}")
+            continue
+
+        track = os.path.splitext(basename)[0]
+        print(f"{track[:20]}:\t"
+              f"SDR={metrics['SDR']:.3f} dB,\t"
+              f"SIR={metrics['SIR']:.3f} dB,\t"
+              f"SAR={metrics['SAR']:.3f} dB,\t"
+              f"NSDR={metrics['NSDR']:.3f} dB")
+        for k in lists:
+            lists[k].append(metrics[k])
+        all_results.append({"track": track, **metrics})
+
+    if not all_results:
+        print("\n[Error] No valid tracks evaluated.")
+        return 1
+
+    print("\n=== Overall Mean Metrics (vocal) ===")
+    print(f"Mean SDR : {np.mean(lists['SDR']):.3f} dB")
+    print(f"Mean SIR : {np.mean(lists['SIR']):.3f} dB")
+    print(f"Mean SAR : {np.mean(lists['SAR']):.3f} dB")
+    print(f"Mean NSDR: {np.mean(lists['NSDR']):.3f} dB")
+
+    if args.out_csv is not None:
+        fieldnames = ["track", "SDR", "SIR", "SAR", "NSDR"]
+        with open(args.out_csv, "w", newline="", encoding="utf-8") as f:
+            writer = csv.DictWriter(f, fieldnames=fieldnames)
+            writer.writeheader()
+            for row in all_results:
+                writer.writerow(row)
+        print(f"\n[Info] Results saved to {args.out_csv}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,77 @@
+"""``inference`` CLI — mask prediction over a folder of mixture spectrograms.
+
+Flag surface preserved from reference inference.py:29-34:
+  --model_path --tar --mixture_folder --vocal_solo
+Extension: --limit N reproduces the reference's hard-coded 20-file cap
+(inference.py:59) when wanted; the default processes everything (the cap
+reads as a debug leftover — SURVEY.md §7 stage 5).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Separate vocal magnitude from mixture spectrograms.")
+    p.add_argument("--model_path", type=str, required=True,
+                   help=".ckpt (native) or .pth (reference) checkpoint")
+    p.add_argument("--tar", type=str, required=True)
+    p.add_argument("--mixture_folder", type=str, required=True)
+    p.add_argument("--vocal_solo", type=int, default=1,
+                   help="1: keep vocals; 0: remove vocals (1 - mask)")
+    p.add_argument("--limit", type=int, default=None,
+                   help="process only the first N files (the reference "
+                        "hard-codes 20)")
+    p.add_argument("--preset", type=str, default="default")
+    return p
+
+
+def load_model(model_path: str):
+    """Load (params, bn_state) from a native or reference checkpoint."""
+    import jax
+    from svs_tpu.train import checkpoint as ckpt_lib
+    from svs_tpu.train.step import create_train_state
+
+    template = create_train_state(jax.random.key(0))
+    state, _, _ = ckpt_lib.resume(model_path, template)
+    return state.params, state.bn_state
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    import numpy as np
+    from tqdm import tqdm
+
+    from svs_tpu.infer import separate
+    from svs_tpu.utils.config import get_config
+
+    cfg = get_config(args.preset)
+    os.makedirs(args.tar, exist_ok=True)
+
+    try:
+        params, bn_state = load_model(args.model_path)
+    except Exception as e:
+        print(f"Failed to load model: {e}")
+        return 1
+
+    files = sorted(f for f in os.listdir(args.mixture_folder)
+                   if f.endswith("_spec.npy"))
+    if args.limit is not None:
+        files = files[: args.limit]
+    print(f"Found {len(files)} files, processing...")
+
+    for name in tqdm(files):
+        mix = np.load(os.path.join(args.mixture_folder, name))
+        out = separate.separate_magnitude(
+            params, bn_state, mix, vocal_solo=bool(args.vocal_solo), cfg=cfg)
+        np.save(os.path.join(args.tar, name), out)
+
+    print("Separation finished!")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,73 @@
+"""``train`` CLI.
+
+Flag surface preserved from reference train.py:157-167:
+  --train_folder --load_path --label(required) --epoch --batch_size
+  --valid_folder --val_interval
+TPU-build extensions: --preset --seed --export_pth --dp --ckpt_dir --log_dir.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Train the SVS U-Net on TPU.")
+    p.add_argument("--train_folder", type=str, default="./data/vocals")
+    p.add_argument("--load_path", type=str, default="result.ckpt")
+    p.add_argument("--label", type=str, required=True)
+    p.add_argument("--epoch", type=int, default=2)
+    p.add_argument("--batch_size", type=int, default=2)
+    p.add_argument("--valid_folder", type=str,
+                   default="unet_spectrograms/valid")
+    p.add_argument("--val_interval", type=int, default=20)
+    # extensions
+    p.add_argument("--preset", type=str, default="default",
+                   help="config preset (see svs_tpu.utils.config.PRESETS)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--export_pth", action="store_true",
+                   help="also write reference-loadable .pth checkpoints")
+    p.add_argument("--dp", action="store_true",
+                   help="data-parallel training over all visible devices")
+    p.add_argument("--ckpt_dir", type=str, default="CKPT")
+    p.add_argument("--log_dir", type=str, default="LOG")
+    p.add_argument("--samples_per_song", type=int, default=None,
+                   help="override the preset's virtual-epoch patches/song")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from svs_tpu.train.loop import TrainOptions, fit
+    from svs_tpu.utils.config import get_config
+
+    cfg = get_config(args.preset)
+    if args.samples_per_song is not None:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, samples_per_song=args.samples_per_song)
+    mesh = None
+    if args.dp:
+        from svs_tpu.parallel import mesh as mesh_lib
+        mesh = mesh_lib.make_mesh()
+        print(f"Data-parallel over {mesh.devices.size} devices")
+
+    opts = TrainOptions(
+        train_folder=args.train_folder,
+        load_path=args.load_path,
+        label=args.label,
+        epoch=args.epoch,
+        batch_size=args.batch_size,
+        valid_folder=args.valid_folder,
+        val_interval=args.val_interval,
+        ckpt_dir=args.ckpt_dir,
+        log_dir=args.log_dir,
+        seed=args.seed,
+        export_pth=args.export_pth,
+        mesh=mesh,
+    )
+    fit(opts, cfg)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

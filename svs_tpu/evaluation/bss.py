@@ -86,9 +86,11 @@ def _decompose(reference_sources: np.ndarray, estimated_source: np.ndarray,
 
 def _crit(s_true, e_spat, e_interf, e_artif) -> Tuple[float, float, float]:
     s_filt = s_true + e_spat
-    sdr = _db(np.sum(s_filt ** 2) / np.sum((e_interf + e_artif) ** 2))
-    sir = _db(np.sum(s_filt ** 2) / np.sum(e_interf ** 2))
-    sar = _db(np.sum((s_filt + e_interf) ** 2) / np.sum(e_artif ** 2))
+    # zero interference (e.g. single-source eval) legitimately yields inf SIR
+    with np.errstate(divide="ignore"):
+        sdr = _db(np.sum(s_filt ** 2) / np.sum((e_interf + e_artif) ** 2))
+        sir = _db(np.sum(s_filt ** 2) / np.sum(e_interf ** 2))
+        sar = _db(np.sum((s_filt + e_interf) ** 2) / np.sum(e_artif ** 2))
     return sdr, sir, sar
 
 

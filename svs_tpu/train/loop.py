@@ -52,6 +52,7 @@ class TrainOptions:
     export_pth: bool = False
     progress: bool = True
     device_put: Optional[Callable] = None  # sharding hook (parallel.dp)
+    mesh: Optional[object] = None  # jax Mesh -> data-parallel training
 
 
 def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
@@ -80,7 +81,6 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
 
     optimizer = make_optimizer(cfg)
     state = create_train_state(jax.random.key(opts.seed), cfg, optimizer)
-    train_step = make_train_step(cfg, optimizer)
     eval_step = make_eval_step(cfg)
 
     start_epoch = 0
@@ -89,10 +89,19 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
         print(f"Loaded checkpoint from {opts.load_path} "
               f"(epoch {start_epoch})")
 
+    put = opts.device_put or (lambda b: b)
+    if opts.mesh is not None:
+        from svs_tpu.parallel import dp, mesh as mesh_lib
+        train_step = dp.make_dp_train_step(opts.mesh, cfg, optimizer)
+        state = dp.replicate_state(state, opts.mesh)
+        if opts.device_put is None:
+            put = lambda b: mesh_lib.shard_batch(opts.mesh, b)  # noqa: E731
+    else:
+        train_step = make_train_step(cfg, optimizer)
+
     best_val_loss = 100.0  # reference train.py:209
     log_buffer: List[str] = []
     rng = jax.random.key(opts.seed + 1)
-    put = opts.device_put or (lambda b: b)
 
     def _flush_log():
         nonlocal log_buffer

@@ -1,0 +1,147 @@
+"""Full-pipeline CLI test: the reference's manual file-mediated workflow
+(readme.md:20-35) driven end-to-end through the preserved flag surface:
+
+wav songs -> data to_spec -> train -> inference -> data to_wave -> evaluate
+plus the viz and lossplot diagnostics.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from svs_tpu.cli import (data_cli, eval_cli, infer_cli, lossplot_cli,
+                         train_cli, viz_cli)
+from svs_tpu.data import wav as wavio
+
+SR = 8192
+
+
+def _make_songs(root, n=2, secs=4.0):
+    rng = np.random.default_rng(0)
+    t = np.arange(int(SR * secs)) / SR
+    for i in range(n):
+        d = os.path.join(root, f"song{i}")
+        os.makedirs(d)
+        voc = 0.3 * np.sin(2 * np.pi * (500 + 80 * i) * t).astype(np.float32)
+        acc = (0.2 * np.sin(2 * np.pi * 150 * t)
+               + 0.05 * rng.standard_normal(len(t))).astype(np.float32)
+        wavio.write_wav(os.path.join(d, "vocals.wav"), voc, SR)
+        wavio.write_wav(os.path.join(d, "mixture.wav"), voc + acc, SR)
+
+
+@pytest.fixture(scope="module")
+def pipeline_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("pipe")
+    src = str(root / "songs")
+    os.makedirs(src)
+    _make_songs(src)
+    spec = str(root / "spec")
+    assert data_cli.main(["--src", src, "--tar", spec,
+                          "--direction", "to_spec"]) == 0
+    return root, src, spec
+
+
+def test_full_pipeline(pipeline_dir):
+    root, src, spec = pipeline_dir
+
+    # --- train one epoch (reference train.py flag surface) ---
+    ckpt_dir, log_dir = str(root / "CKPT"), str(root / "LOG")
+    rc = train_cli.main([
+        "--train_folder", spec, "--valid_folder", spec,
+        "--label", "cli", "--epoch", "1", "--batch_size", "2",
+        "--val_interval", "1", "--ckpt_dir", ckpt_dir, "--log_dir", log_dir,
+        "--load_path", str(root / "none.ckpt"),
+        "--samples_per_song", "2",
+    ])
+    assert rc == 0
+    model = os.path.join(ckpt_dir, "svs_cli.ckpt")
+    assert os.path.exists(model)
+    assert os.path.exists(os.path.join(ckpt_dir, "svs_best_cli.ckpt"))
+
+    # --- inference over mixture specs ---
+    pred = str(root / "pred")
+    rc = infer_cli.main(["--model_path", model, "--tar", pred,
+                         "--mixture_folder", os.path.join(spec, "mixture"),
+                         "--vocal_solo", "1"])
+    assert rc == 0
+    outs = sorted(os.listdir(pred))
+    assert outs == ["0000_song0_spec.npy", "0001_song1_spec.npy"]
+    m = np.load(os.path.join(pred, outs[0]))
+    ref_mag = np.load(os.path.join(spec, "mixture", outs[0]))
+    assert m.shape == ref_mag.shape
+    assert (m <= ref_mag + 1e-5).all()  # mask in [0,1]
+
+    # --- reconstruct wavs with mixture phase ---
+    wav_out = str(root / "wav_out")
+    rc = data_cli.main(["--src", pred, "--tar", wav_out, "--phase", spec,
+                        "--direction", "to_wave"])
+    assert rc == 0
+    assert sorted(os.listdir(wav_out)) == ["0000_song0.wav", "0001_song1.wav"]
+
+    # --- ground-truth wavs for evaluation (readme workflow) ---
+    gt_voc = str(root / "gt_vocal")
+    gt_mix = str(root / "gt_mix")
+    assert data_cli.main(["--src", os.path.join(spec, "vocal"),
+                          "--tar", gt_voc, "--phase", spec,
+                          "--direction", "to_wave"]) == 0
+    assert data_cli.main(["--src", os.path.join(spec, "mixture"),
+                          "--tar", gt_mix, "--phase", spec,
+                          "--direction", "to_wave"]) == 0
+
+    # --- evaluate (reference evaluate.py flag surface) ---
+    csv_path = str(root / "results.csv")
+    rc = eval_cli.main(["--est", wav_out, "--mix", gt_mix, "--ref", gt_voc,
+                        "--out_csv", csv_path])
+    assert rc == 0
+    rows = open(csv_path).read().strip().splitlines()
+    assert rows[0] == "track,SDR,SIR,SAR,NSDR"
+    assert len(rows) == 3  # header + 2 tracks
+
+    # --- viz diagnostic figure ---
+    out_png = str(root / "viz.png")
+    rc = viz_cli.main(["--model_path", model,
+                       "--spec_path", os.path.join(spec, "mixture",
+                                                   "0000_song0_spec.npy"),
+                       "--out", out_png])
+    assert rc == 0 and os.path.getsize(out_png) > 10000
+
+    # --- loss plot from the LOG contract ---
+    out_loss = str(root / "loss.png")
+    rc = lossplot_cli.main([os.path.join(log_dir, "log_cli.txt"),
+                            "--out", out_loss])
+    assert rc == 0 and os.path.exists(out_loss)
+
+
+def test_data_cli_to_wave_requires_phase(tmp_path):
+    with pytest.raises(SystemExit):
+        data_cli.main(["--src", str(tmp_path), "--tar", str(tmp_path / "o"),
+                       "--direction", "to_wave"])
+
+
+def test_data_cli_empty_src_fails(tmp_path):
+    src = tmp_path / "empty"
+    os.makedirs(src)
+    rc = data_cli.main(["--src", str(src), "--tar", str(tmp_path / "o"),
+                        "--direction", "to_spec"])
+    assert rc == 1
+
+
+def test_infer_cli_limit(pipeline_dir, tmp_path):
+    """--limit reproduces the reference's 20-file debug cap
+    (inference.py:59) at any N."""
+    root, src, spec = pipeline_dir
+    model = os.path.join(str(root / "CKPT"), "svs_cli.ckpt")
+    pred = str(tmp_path / "pred1")
+    rc = infer_cli.main(["--model_path", model, "--tar", pred,
+                         "--mixture_folder", os.path.join(spec, "mixture"),
+                         "--limit", "1"])
+    assert rc == 0
+    assert len(os.listdir(pred)) == 1
+
+
+def test_infer_cli_bad_model(tmp_path):
+    rc = infer_cli.main(["--model_path", str(tmp_path / "missing.ckpt"),
+                         "--tar", str(tmp_path / "o"),
+                         "--mixture_folder", str(tmp_path)])
+    assert rc == 1
