@@ -122,6 +122,68 @@ def _separate_wav_jit(params, bn_state, y, cfg: SVSConfig, vocal_solo: bool,
 _SAMPLE_BUCKET = 1 << 18
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "vocal_solo", "both"))
+def _separate_wav_pcm16_jit(params, bn_state, y_i16, cfg: SVSConfig,
+                            vocal_solo: bool, both: bool):
+    """PCM16 variant: int16 in, int16 out.  Decode (x/32768) and re-quantise
+    happen on device, halving host<->device bytes — transfers, not FLOPs, are
+    the wall for tunnelled/serving deployments."""
+    y = y_i16.astype(jnp.float32) / 32768.0
+    out = _separate_wav_jit(params, bn_state, y, cfg, vocal_solo, both)
+
+    def q(x):
+        return jnp.clip(jnp.round(x * 32768.0), -32768, 32767).astype(jnp.int16)
+
+    return tuple(q(o) for o in out) if both else q(out)
+
+
+def separate_wav_stream(
+    params,
+    bn_state,
+    songs,
+    *,
+    vocal_solo: bool = True,
+    cfg: Optional[SVSConfig] = None,
+    pcm16: bool = False,
+):
+    """Sustained streaming separation of many songs with software pipelining.
+
+    JAX dispatch is asynchronous: enqueueing song i+1's host->device transfer
+    and forward pass while song i's result is still copying back overlaps
+    transfer with compute, so steady-state cost per song is
+    max(H2D, compute, D2H) instead of their sum — the multi-song batched
+    streaming config of BASELINE.json.  With ``pcm16`` the waveforms cross
+    the host boundary as int16 (half the bytes); decode/quantise run on
+    device.
+
+    Args: songs — list of 1-D float32 (or int16 when pcm16) arrays.
+    Returns list of vocal estimates, dtype matching the input convention.
+    """
+    cfg = cfg or SVSConfig()
+    lengths = [len(y) for y in songs]
+    pending = []
+    for y in songs:
+        n = len(y)
+        n_pad = _cdiv(max(n, cfg.window_size), _SAMPLE_BUCKET) * _SAMPLE_BUCKET
+        if pcm16:
+            y_p = jax.device_put(np.pad(np.asarray(y, np.int16),
+                                        (0, n_pad - n)))
+            out = _separate_wav_pcm16_jit(params, bn_state, y_p, cfg,
+                                          vocal_solo, False)
+        else:
+            y_p = jax.device_put(np.pad(np.asarray(y, np.float32),
+                                        (0, n_pad - n)))
+            out = _separate_wav_jit(params, bn_state, y_p, cfg, vocal_solo,
+                                    False)
+        try:
+            out.copy_to_host_async()
+        except Exception:
+            pass  # backend without async host copies: np.asarray still works
+        pending.append(out)
+    return [np.asarray(o)[:n] for o, n in zip(pending, lengths)]
+
+
 def separate_wav(
     params,
     bn_state,

@@ -13,8 +13,13 @@ from typing import Dict, Optional
 import numpy as np
 
 
-def run_bench(secs: float = 240.0, reps: int = 5, seed: int = 0,
-              cfg=None, compute_dtype: Optional[str] = None) -> Dict:
+def run_bench(secs: float = 240.0, reps: int = 8, seed: int = 0,
+              cfg=None, compute_dtype: Optional[str] = None,
+              pcm16: bool = True) -> Dict:
+    """Sustained streaming separation of ``reps`` songs of ``secs`` seconds:
+    the serving configuration (PCM16 wavs in/out, on-device decode, software-
+    pipelined transfers, BASELINE.json config 'multi-song batched streaming
+    inference')."""
     import jax
 
     from svs_tpu.infer import separate
@@ -30,14 +35,19 @@ def run_bench(secs: float = 240.0, reps: int = 5, seed: int = 0,
     n = int(cfg.sample_rate * secs)
     rng = np.random.default_rng(seed)
     y = (rng.standard_normal(n) * 0.1).astype(np.float32)
+    if pcm16:
+        y = (y * 32768.0).clip(-32768, 32767).astype(np.int16)
 
-    out = separate.separate_wav(params, bn_state, y, cfg=cfg)  # compile
-    assert out.shape == y.shape and np.isfinite(out).all()
+    out = separate.separate_wav_stream(params, bn_state, [y], cfg=cfg,
+                                       pcm16=pcm16)  # compile
+    assert out[0].shape == y.shape and np.isfinite(
+        out[0].astype(np.float32)).all()
 
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = separate.separate_wav(params, bn_state, y, cfg=cfg)
+    outs = separate.separate_wav_stream(params, bn_state, [y] * reps,
+                                        cfg=cfg, pcm16=pcm16)
     elapsed = (time.perf_counter() - t0) / reps
+    assert len(outs) == reps
 
     n_frames = 1 + n // cfg.hop_size
     frames_per_sec = n_frames / elapsed
@@ -47,6 +57,8 @@ def run_bench(secs: float = 240.0, reps: int = 5, seed: int = 0,
     return {
         "metric": "e2e_frames_per_sec",
         "value": round(frames_per_sec, 1),
-        "unit": f"frames/s (= {realtime:.0f}x realtime, wav->unet-mask->wav)",
+        "unit": (f"frames/s (= {realtime:.0f}x realtime; streaming "
+                 "wav->stft->unet-mask->istft->wav, "
+                 f"{'pcm16' if pcm16 else 'f32'} host I/O)"),
         "vs_baseline": round(frames_per_sec / target_fps, 2),
     }
