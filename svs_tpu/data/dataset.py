@@ -35,13 +35,22 @@ class PatchDataset:
         samples_per_song: int = 64,
         input_len: int = 128,
         drop_dc: bool = True,
+        backend: str = "auto",
     ):
+        """backend: 'native' (C++ threaded loader, native/svs_native.cpp),
+        'numpy', or 'auto' (native when the shared library builds/loads)."""
         self.path = path
         self.mixture_path = os.path.join(path, "mixture")
         self.vocal_path = os.path.join(path, "vocal")
         self.samples_per_song = samples_per_song
         self.input_len = input_len
         self.drop_dc = drop_dc
+
+        if backend == "auto":
+            from svs_tpu.data import native
+            backend = "native" if native.available() else "numpy"
+        self.backend = backend
+        self._native_handles: Dict[str, tuple] = {}
 
         if not os.path.exists(self.mixture_path):
             raise FileNotFoundError(
@@ -102,6 +111,51 @@ class PatchDataset:
             voc_a = np.pad(np.angle(np.asarray(voc_p[lo:])).astype(np.float32), pad)
         return mix, voc, mix_a, voc_a
 
+    def _song_native(self, name: str):
+        """4 native handles per song: mixture (mag, phase), vocal (mag,
+        phase), opened once."""
+        if name not in self._native_handles:
+            from svs_tpu.data import native
+            phase_name = name.replace("_spec.npy", "_phase.npy")
+            self._native_handles[name] = tuple(
+                native.NpyHandle(os.path.join(d, f))
+                for d, f in (
+                    (self.mixture_path, name),
+                    (self.mixture_path, phase_name),
+                    (self.vocal_path, name),
+                    (self.vocal_path, phase_name),
+                )
+            )
+        return self._native_handles[name]
+
+    def _native_batch(self, idxs, rng: np.random.Generator
+                      ) -> Dict[str, np.ndarray]:
+        """Batch assembly through the C++ loader — identical RNG call order
+        to :meth:`sample`, so numpy/native backends produce equal batches."""
+        from svs_tpu.data import native
+        l = self.input_len
+        handles = []
+        starts = []
+        for idx in idxs:
+            name = self.file_names[idx % len(self.file_names)]
+            hs = self._song_native(name)
+            t = hs[0].cols
+            start = int(rng.integers(0, t - l, endpoint=True)) if t > l else 0
+            handles.append(hs)
+            starts.append(start)
+        rows = handles[0][0].rows - (1 if self.drop_dc else 0)
+        starts = np.asarray(starts, np.int64)
+        mix, mix_a = native.fill_batch(
+            np.asarray([h[0].handle for h in handles]),
+            np.asarray([h[1].handle for h in handles]),
+            starts, drop_dc=self.drop_dc, out_len=l, rows=rows)
+        voc, voc_a = native.fill_batch(
+            np.asarray([h[2].handle for h in handles]),
+            np.asarray([h[3].handle for h in handles]),
+            starts, drop_dc=self.drop_dc, out_len=l, rows=rows)
+        return {"mix": mix, "voc": voc, "mix_angle": mix_a,
+                "voc_angle": voc_a}
+
     def batches(
         self,
         batch_size: int,
@@ -126,13 +180,16 @@ class PatchDataset:
         def produce(q: queue.Queue):
             try:
                 for lo_i, hi_i in spans:
-                    items = [self.sample(int(order[i]), rng)
-                             for i in range(lo_i, hi_i)]
-                    batch = {
-                        k: np.stack([it[j] for it in items])
-                        for j, k in enumerate(
-                            ("mix", "voc", "mix_angle", "voc_angle"))
-                    }
+                    idxs = [int(order[i]) for i in range(lo_i, hi_i)]
+                    if self.backend == "native":
+                        batch = self._native_batch(idxs, rng)
+                    else:
+                        items = [self.sample(i, rng) for i in idxs]
+                        batch = {
+                            k: np.stack([it[j] for it in items])
+                            for j, k in enumerate(
+                                ("mix", "voc", "mix_angle", "voc_angle"))
+                        }
                     q.put(batch)
             finally:
                 q.put(None)
