@@ -63,6 +63,21 @@ def _separate_spec_jit(params, bn_state, mag, cfg: SVSConfig,
     return jnp.concatenate([jnp.zeros((1, mag.shape[1]), mag.dtype), pred])
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "vocal_solo"))
+def _separate_whole_jit(params, bn_state, mag, cfg: SVSConfig,
+                        vocal_solo: bool):
+    """Whole-song-as-one-patch masking: the model is fully convolutional in
+    time (SURVEY.md §5), so a (1, 512, T) forward gives every frame full
+    temporal context instead of the reference's isolated 128-frame segments."""
+    mask, _ = unet.apply(params, bn_state, mag[None, 1:], train=False,
+                         cfg=cfg)
+    mask = mask[0]
+    if not vocal_solo:
+        mask = 1.0 - mask
+    pred = mag[1:] * mask
+    return jnp.concatenate([jnp.zeros((1, mag.shape[1]), mag.dtype), pred])
+
+
 def separate_magnitude(
     params,
     bn_state,
@@ -70,11 +85,25 @@ def separate_magnitude(
     *,
     vocal_solo: bool = True,
     cfg: Optional[SVSConfig] = None,
+    mode: str = "segments",
 ) -> np.ndarray:
     """Host entry: (513, T) float32 normalised magnitude -> masked magnitude,
-    any T.  Pads T to a segment-bucket multiple, slices back."""
+    any T.
+
+    mode='segments' reproduces the reference's independent 128-frame windows
+    (inference.py:75-120); mode='whole' runs the song as ONE patch for full
+    temporal context (no segment seams — an extension the fully-convolutional
+    architecture supports natively).
+    """
     cfg = cfg or SVSConfig()
     t = mag.shape[1]
+    if mode == "whole":
+        granule = 64 * _SEG_BUCKET
+        t_padded = _cdiv(max(t, granule), granule) * granule
+        mag_p = np.pad(mag.astype(np.float32), ((0, 0), (0, t_padded - t)))
+        out = _separate_whole_jit(params, bn_state, jnp.asarray(mag_p), cfg,
+                                  vocal_solo)
+        return np.asarray(out)[:, :t]
     n_seg = max(_cdiv(t, cfg.input_len), 1)
     n_seg_padded = _cdiv(n_seg, _SEG_BUCKET) * _SEG_BUCKET
     t_padded = n_seg_padded * cfg.input_len

@@ -43,14 +43,18 @@ _DN = ("NHWC", "HWIO", "NHWC")
 
 
 def _conv(x: jax.Array, w: jax.Array, stride: int, compute_dtype) -> jax.Array:
+    # conv runs wholly in compute_dtype and is cast back to f32 afterwards:
+    # the cast's VJP keeps the backward convs dtype-consistent (a
+    # preferred_element_type upcast would hand an f32 cotangent to a bf16
+    # transpose conv, which lax rejects); TPU MXU accumulates bf16 inputs in
+    # f32 internally either way.
     return jax.lax.conv_general_dilated(
         x.astype(compute_dtype),
         w.astype(compute_dtype),
         window_strides=(stride, stride),
         padding=((2, 2), (2, 2)),
         dimension_numbers=_DN,
-        preferred_element_type=jnp.float32,
-    )
+    ).astype(jnp.float32)
 
 
 def _conv_transpose(x: jax.Array, w: jax.Array, compute_dtype) -> jax.Array:
@@ -69,8 +73,7 @@ def _conv_transpose(x: jax.Array, w: jax.Array, compute_dtype) -> jax.Array:
         padding=((2, 3), (2, 3)),
         lhs_dilation=(2, 2),
         dimension_numbers=_DN,
-        preferred_element_type=jnp.float32,
-    )
+    ).astype(jnp.float32)
 
 
 def _batch_norm(

@@ -99,3 +99,24 @@ def test_separate_wav_matches_spec_path(rng):
     covered = 768 * (mag.shape[1] - 1)
     np.testing.assert_allclose(vocal_fused[:covered], vocal_file[:covered],
                                atol=2e-3)
+
+
+def test_whole_mode(rng):
+    """mode='whole' runs the song as one patch; agrees with the time-sharded
+    halo path (which is provably equal to the unsharded whole forward)."""
+    params, bn_state = _params()
+    mag = rng.random((513, 700)).astype(np.float32)
+    out = separate.separate_magnitude(params, bn_state, mag, mode="whole")
+    assert out.shape == (513, 700)
+    assert (out[0] == 0).all()
+    acc = separate.separate_magnitude(params, bn_state, mag, mode="whole",
+                                      vocal_solo=False)
+    np.testing.assert_allclose(out[1:] + acc[1:], mag[1:], atol=1e-5)
+
+    from svs_tpu.parallel import halo, mesh as mesh_lib
+    mesh = mesh_lib.make_mesh()
+    sharded = halo.separate_magnitude_time_sharded(
+        params, bn_state, mag, mesh)
+    # whole-mode pads to 512-frame granules, halo path to 64*n granules —
+    # tail padding differs, so compare the frames fully inside both
+    np.testing.assert_allclose(out[:, :512], sharded[:, :512], atol=3e-5)
