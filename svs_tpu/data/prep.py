@@ -47,19 +47,27 @@ def _bucket_pad(y: np.ndarray) -> np.ndarray:
 def stft_magphase(y: np.ndarray, n_fft: int, hop: int
                   ) -> Tuple[np.ndarray, np.ndarray]:
     """On-device STFT + magphase of an arbitrary-length host signal, with
-    length-bucketed compilation; exact librosa frame count (1 + T//hop)."""
+    length-bucketed compilation; exact librosa frame count (1 + T//hop).
+
+    complex64 never crosses the host boundary (unsupported on some TPU
+    runtimes): the device returns f32 real/imag planes, combined here.
+    """
     n_frames = 1 + len(y) // hop  # librosa center=True frame count
-    mag, phase = dsp.stft_magphase_jit(
+    mag, phase_ri = dsp.stft_magphase_jit(
         jnp.asarray(_bucket_pad(y)), n_fft=n_fft, hop_length=hop
     )
-    return (np.asarray(mag)[:, :n_frames], np.asarray(phase)[:, :n_frames])
+    mag = np.asarray(mag)[:, :n_frames]
+    ri = np.asarray(phase_ri)[:, :, :n_frames]
+    return mag, (ri[0] + 1j * ri[1]).astype(np.complex64)
 
 
 def istft_device(spec: np.ndarray, n_fft: int, hop: int,
                  length: Optional[int] = None) -> np.ndarray:
-    """On-device iSTFT of a host complex spectrogram (data.py:159 equivalent)."""
-    y = dsp.istft(jnp.asarray(spec), hop_length=hop, win_length=n_fft,
-                  n_fft=n_fft, length=length)
+    """On-device iSTFT of a host complex spectrogram (data.py:159
+    equivalent); ships f32 real/imag planes, not complex."""
+    ri = np.stack([spec.real, spec.imag]).astype(np.float32)
+    y = dsp.istft_ri_jit(jnp.asarray(ri), n_fft=n_fft, hop_length=hop,
+                         length=length)
     return np.asarray(y)
 
 

@@ -1,24 +1,29 @@
 """Pallas TPU kernels for the spectrogram front-end.
 
 ``stft_magnitude`` fuses framing + windowing + real-DFT + magnitude into ONE
-kernel: the hop-reshaped signal streams HBM->VMEM once per block, frames are
-assembled in-register from overlapping row blocks (the K-chunk trick from
-svs_tpu.ops.stft), windowed on the VPU, and projected against cos/sin DFT
-bases on the MXU; only the magnitude ever returns to HBM.  The XLA path
-materialises the (n_frames, n_fft) frame matrix and the complex spectrum in
-HBM between ops — this kernel eliminates both round trips.
+kernel pass: only the hop-reshaped signal streams HBM->VMEM and only the
+magnitude returns to HBM — the XLA path materialises the (n_frames, n_fft)
+frame matrix and the complex spectrum in HBM between ops.
 
-Used where gradients aren't needed (inference/eval paths, magnitude-only
-analysis); the training loss keeps the XLA STFT, which autodiffs.
+Kernel formulation (Mosaic-friendly — no in-kernel concats or offset slices):
+with K = ceil(n_fft / hop), frame f = [z[f], z[f+1], ..] rows of the
+hop-reshaped signal, and the windowed DFT factored as a block matrix,
 
-Correctness is pinned to svs_tpu.ops.stft (itself torch/librosa-pinned) by
-tests in interpret mode (CPU) and compiled mode (TPU).
+    |STFT|[f, :] = | sum_j  z[f+j] @ WD_j |,   WD_j = diag(w)·DFT rows
+                                                  [j*hop, (j+1)*hop)
+
+so each grid block is K aligned (TB, hop) x (hop, n_bins) MXU matmuls per
+cos/sin basis, accumulated in f32, plus a VPU magnitude.  The K shifted views
+of the signal are strided XLA slices prepared outside the kernel.
+
+Used where gradients aren't needed (inference/eval paths); the training loss
+keeps the autodiffable XLA STFT.  Correctness is pinned to svs_tpu.ops.stft
+(itself torch/librosa-pinned) in interpret mode (CPU) and compiled (TPU).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -30,29 +35,34 @@ from jax.experimental.pallas import tpu as pltpu
 from svs_tpu.ops import stft as dsp
 
 
-def _dft_bases(n_fft: int, n_bins_padded: int) -> tuple[np.ndarray, np.ndarray]:
-    """cos/sin projection matrices (n_fft, n_bins_padded); columns past
-    n_fft//2+1 are zero so padded lanes contribute nothing."""
+def _windowed_dft(n_fft: int, hop: int, k: int, n_bins_padded: int):
+    """(k, hop, n_bins_padded) cos/sin bases with the hann window folded in;
+    rows past n_fft (the last chunk's padding) are zero."""
     n_bins = n_fft // 2 + 1
     t = np.arange(n_fft)[:, None]
-    k = np.arange(n_bins)[None, :]
-    ang = 2.0 * np.pi * t * k / n_fft
-    cos = np.zeros((n_fft, n_bins_padded), np.float32)
-    sin = np.zeros((n_fft, n_bins_padded), np.float32)
-    cos[:, :n_bins] = np.cos(ang)
-    sin[:, :n_bins] = -np.sin(ang)  # rfft convention: X_k = sum x_t e^{-i..}
-    return cos, sin
+    f = np.arange(n_bins)[None, :]
+    ang = 2.0 * np.pi * t * f / n_fft
+    # periodic hann in numpy (host-side constant; dsp.hann_window would be a
+    # tracer under jit)
+    w = (0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n_fft) / n_fft)
+         ).astype(np.float32)[:, None]
+    cos = np.zeros((k * hop, n_bins_padded), np.float32)
+    sin = np.zeros((k * hop, n_bins_padded), np.float32)
+    cos[:n_fft, :n_bins] = np.cos(ang) * w
+    sin[:n_fft, :n_bins] = -np.sin(ang) * w  # rfft sign convention
+    return (cos.reshape(k, hop, n_bins_padded),
+            sin.reshape(k, hop, n_bins_padded))
 
 
-def _stft_mag_kernel(z_ref, tails_ref, w_ref, cos_ref, sin_ref, out_ref, *,
-                     k_chunks, n_fft):
-    tb = out_ref.shape[0]
-    # (tb + k, hop): this block's rows plus the next block's first k rows
-    rows = jnp.concatenate([z_ref[:], tails_ref[0]], axis=0)
-    parts = [rows[j:j + tb, :] for j in range(k_chunks)]
-    frames = jnp.concatenate(parts, axis=1)[:, :n_fft] * w_ref[:]
-    re = jnp.dot(frames, cos_ref[:], preferred_element_type=jnp.float32)
-    im = jnp.dot(frames, sin_ref[:], preferred_element_type=jnp.float32)
+def _stft_mag_kernel(*refs, k_chunks):
+    z_refs = refs[:k_chunks]
+    cos_ref, sin_ref, out_ref = refs[k_chunks:]
+    re = jnp.zeros(out_ref.shape, jnp.float32)
+    im = jnp.zeros(out_ref.shape, jnp.float32)
+    for j in range(k_chunks):
+        zj = z_refs[j][:]
+        re += jnp.dot(zj, cos_ref[j], preferred_element_type=jnp.float32)
+        im += jnp.dot(zj, sin_ref[j], preferred_element_type=jnp.float32)
     out_ref[:] = jnp.sqrt(re * re + im * im)
 
 
@@ -78,46 +88,38 @@ def stft_magnitude(
 
     tb = 256  # frames per block
     n_blocks = -(-n_frames // tb)
-    rows_needed = n_blocks * tb + k
-    padded = rows_needed * hop_length
-    z = jnp.pad(y, (0, padded - t)).reshape(rows_needed, hop_length)
-    # per-block boundary rows: block i also needs rows
-    # [(i+1)*tb, (i+1)*tb + k) — blocks can't overlap in a BlockSpec, so the
-    # k boundary rows per block ride along as a tiny side input
-    tail_idx = (jnp.arange(n_blocks) + 1)[:, None] * tb + jnp.arange(k)
-    tails = z[tail_idx]  # (n_blocks, k, hop)
+    rows = n_blocks * tb
+    padded = (rows + k) * hop_length
+    z = jnp.pad(y, (0, padded - t)).reshape(rows + k, hop_length)
+    # K shift-aligned views: z_j[f] = z[f + j]
+    z_views = [jax.lax.slice_in_dim(z, j, j + rows, axis=0) for j in range(k)]
 
     n_bins = n_fft // 2 + 1
     n_bins_padded = -(-n_bins // 128) * 128
-    cos, sin = _dft_bases(n_fft, n_bins_padded)
-    window = dsp.hann_window(n_fft).reshape(1, n_fft)
+    cos, sin = _windowed_dft(n_fft, hop_length, k, n_bins_padded)
 
-    kernel = functools.partial(_stft_mag_kernel, k_chunks=k, n_fft=n_fft)
+    kernel = functools.partial(_stft_mag_kernel, k_chunks=k)
+    z_specs = [
+        pl.BlockSpec((tb, hop_length), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM)
+        for _ in range(k)
+    ]
+    basis_spec = pl.BlockSpec((k, hop_length, n_bins_padded),
+                              lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec((tb, hop_length), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k, hop_length), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_fft), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_fft, n_bins_padded), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_fft, n_bins_padded), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=z_specs + [basis_spec, basis_spec],
         out_specs=pl.BlockSpec((tb, n_bins_padded), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_blocks * tb, n_bins_padded),
-                                       jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((rows, n_bins_padded), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * n_blocks * tb * n_fft * n_bins_padded,
-            bytes_accessed=(padded + n_blocks * tb * n_bins_padded) * 4,
-            transcendentals=n_blocks * tb * n_bins_padded,
+            flops=2 * 2 * rows * k * hop_length * n_bins_padded,
+            bytes_accessed=(k * rows * hop_length
+                            + rows * n_bins_padded) * 4,
+            transcendentals=rows * n_bins_padded,
         ),
-    )(z, tails, jnp.asarray(window), jnp.asarray(cos), jnp.asarray(sin))
+    )(*z_views, jnp.asarray(cos), jnp.asarray(sin))
 
     return out[:n_frames, :n_bins].T

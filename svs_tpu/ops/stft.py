@@ -212,7 +212,24 @@ def amplitude_to_db(
 @functools.partial(jax.jit, static_argnames=("n_fft", "hop_length"))
 def stft_magphase_jit(y: jax.Array, n_fft: int, hop_length: int):
     """Fused jitted STFT + magnitude/phase split for the preprocessing path
-    (replaces reference data.py:79-80's host librosa calls)."""
+    (replaces reference data.py:79-80's host librosa calls).
+
+    The unit phase is returned as a stacked (2, F, T) float32 real/imag pair:
+    some TPU runtimes (the axon tunnel here) cannot transfer complex64 across
+    the host boundary, and float planes are cheaper anyway.
+    """
     S = stft(y, n_fft=n_fft, hop_length=hop_length)
     mag, phase = magphase(S)
-    return mag.astype(jnp.float32), phase
+    phase_ri = jnp.stack([jnp.real(phase), jnp.imag(phase)])
+    return mag.astype(jnp.float32), phase_ri.astype(jnp.float32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_fft", "hop_length", "length"))
+def istft_ri_jit(spec_ri: jax.Array, n_fft: int, hop_length: int,
+                 length: Optional[int] = None):
+    """Jitted iSTFT taking the spectrogram as stacked (2, F, T) float32
+    real/imag planes (complex never crosses the host boundary)."""
+    S = (spec_ri[0] + 1j * spec_ri[1]).astype(jnp.complex64)
+    return istft(S, hop_length=hop_length, win_length=n_fft, n_fft=n_fft,
+                 length=length)
