@@ -12,9 +12,10 @@ Run:  python examples/quickstart.py [workdir]
 import os
 import sys
 
-import numpy as np
+# runnable as `python examples/quickstart.py` without installing the package
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
+import numpy as np
 
 from svs_tpu.data import prep, wav as wavio
 from svs_tpu.evaluation import bss
@@ -23,7 +24,11 @@ from svs_tpu.train.loop import TrainOptions, fit
 from svs_tpu.utils.config import SVSConfig
 
 
-def make_songs(root: str, n: int = 2, secs: float = 6.0, sr: int = 8192):
+def make_songs(root: str, n: int = 2, secs: float = 16.0, sr: int = 8192):
+    # >= 12 s so songs exceed the 128-frame training patch and the random
+    # crop path is actually exercised (65 frames would always zero-pad).
+    # tests/test_cli.py builds similar folders; kept self-contained here —
+    # both must follow the mixture.wav/vocals.wav song-folder contract.
     rng = np.random.default_rng(0)
     t = np.arange(int(sr * secs)) / sr
     for i in range(n):
