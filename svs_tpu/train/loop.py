@@ -84,6 +84,7 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
     eval_step = make_eval_step(cfg)
 
     start_epoch = 0
+    extras = {}
     if os.path.exists(opts.load_path):
         state, start_epoch, extras = ckpt_lib.resume(opts.load_path, state)
         print(f"Loaded checkpoint from {opts.load_path} "
@@ -101,6 +102,10 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
 
     best_val_loss = 100.0  # reference train.py:209
     log_buffer: List[str] = []
+    # per-epoch loss history, persisted in checkpoints like the reference's
+    # loss_list_total (model.py:112-114, train.py:377-379)
+    loss_history: List[float] = [float(x) for x in
+                                 extras.get("loss_list_total", [])]
     rng = jax.random.key(opts.seed + 1)
 
     def _flush_log():
@@ -136,6 +141,7 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
         losses = [float(x) for x in losses]
         avg_train_loss = float(np.mean(losses)) if losses else float("nan")
         log_buffer.append(f"{avg_train_loss}\n")
+        loss_history.append(avg_train_loss)
         epoch_secs = time.time() - t0
 
         with open(metrics_file, "a") as f:
@@ -157,7 +163,8 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
             if avg_val_loss < best_val_loss:
                 best_val_loss = avg_val_loss
                 ckpt_lib.save(best_weight, state, epoch=ep + 1,
-                              extras={"best_val_loss": best_val_loss})
+                              extras={"best_val_loss": best_val_loss,
+                                      "loss_list_total": loss_history})
                 if opts.export_pth:
                     ckpt_lib.export_pth(best_weight[:-5] + ".pth", state,
                                         epoch=ep + 1)
@@ -165,7 +172,8 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
         else:
             print(f"Epoch {ep+1} Avg Loss: {avg_train_loss:.4e}")
 
-        ckpt_lib.save(ckpt_weight, state, epoch=ep + 1)  # latest, every epoch
+        ckpt_lib.save(ckpt_weight, state, epoch=ep + 1,  # latest, every epoch
+                      extras={"loss_list_total": loss_history})
         if opts.export_pth:
             ckpt_lib.export_pth(ckpt_weight[:-5] + ".pth", state, epoch=ep + 1)
 
