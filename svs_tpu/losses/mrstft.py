@@ -63,7 +63,12 @@ def stft_loss(
     w_log_mag: float = 1.0,
 ) -> jax.Array:
     """Single-resolution STFT loss (auraloss STFTLoss defaults):
-    spectral convergence + log-magnitude L1.  x = prediction, y = target."""
+    spectral convergence + log-magnitude L1.  x = prediction, y = target.
+
+    Prediction and target run as separate STFTs on purpose: stacking them
+    into one call measures 23% SLOWER end-to-end because the zero-cotangent
+    target half can't be pruned from the backward FFT of the stacked
+    tensor."""
     x_mag = _spectral_mag(x, n_fft, hop, win)
     y_mag = _spectral_mag(y, n_fft, hop, win)
     sc = jnp.linalg.norm(y_mag - x_mag) / jnp.linalg.norm(y_mag)
