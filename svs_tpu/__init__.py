@@ -17,3 +17,29 @@ reference `zouyuoz/SVS-UNet-PyTorch` (see SURVEY.md):
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_persistent_compilation_cache() -> None:
+    """XLA executables are cached on disk across processes (huge win on
+    remote-compile TPU setups: 10s-10min per program -> ~0.2s reload).
+    Opt out with SVS_TPU_NO_CACHE=1; relocate with SVS_TPU_CACHE_DIR."""
+    import os
+
+    if os.environ.get("SVS_TPU_NO_CACHE"):
+        return
+    cache_dir = os.environ.get(
+        "SVS_TPU_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "svs_tpu",
+                     "jax_cache"),
+    )
+    try:
+        import jax
+
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # cache is an optimisation, never a requirement
+        pass
+
+
+_enable_persistent_compilation_cache()
