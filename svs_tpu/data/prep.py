@@ -64,11 +64,17 @@ def stft_magphase(y: np.ndarray, n_fft: int, hop: int
 def istft_device(spec: np.ndarray, n_fft: int, hop: int,
                  length: Optional[int] = None) -> np.ndarray:
     """On-device iSTFT of a host complex spectrogram (data.py:159
-    equivalent); ships f32 real/imag planes, not complex."""
+    equivalent); ships f32 real/imag planes, not complex.  The length slice
+    happens on the host so song lengths don't multiply jit signatures."""
     ri = np.stack([spec.real, spec.imag]).astype(np.float32)
-    y = dsp.istft_ri_jit(jnp.asarray(ri), n_fft=n_fft, hop_length=hop,
-                         length=length)
-    return np.asarray(y)
+    y = np.asarray(dsp.istft_ri_jit(jnp.asarray(ri), n_fft=n_fft,
+                                    hop_length=hop))
+    if length is not None:
+        if y.shape[-1] >= length:
+            y = y[..., :length]
+        else:
+            y = np.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, length - y.shape[-1])])
+    return y
 
 
 def song_to_spec(
@@ -88,7 +94,10 @@ def song_to_spec(
         return False
 
     y_mix, _ = wavio.load_audio(mix_path, sr=sr, mono=True)
-    mag_mix, _ = stft_magphase(y_mix, win_size, hop_size)
+    # one pass yields norm AND the mixture's spec/phase — the reference
+    # recomputes the mixture STFT in its track loop (data.py:100), which
+    # would be a second device round trip here
+    mag_mix, phase_mix = stft_magphase(y_mix, win_size, hop_size)
     norm = float(mag_mix.max())
     if norm == 0:
         norm = 1.0  # zero-guard (data.py:85)
@@ -97,13 +106,16 @@ def song_to_spec(
         track_path = os.path.join(song_path, wav_file)
         if not os.path.exists(track_path):
             continue
-        y, _ = wavio.load_audio(track_path, sr=sr, mono=True)
-        # length-align to the mixture (data.py:97-98)
-        if len(y) > len(y_mix):
-            y = y[: len(y_mix)]
+        if wav_file == "mixture.wav":
+            mag, phase = mag_mix, phase_mix
         else:
-            y = np.pad(y, (0, len(y_mix) - len(y)))
-        mag, phase = stft_magphase(y, win_size, hop_size)
+            y, _ = wavio.load_audio(track_path, sr=sr, mono=True)
+            # length-align to the mixture (data.py:97-98)
+            if len(y) > len(y_mix):
+                y = y[: len(y_mix)]
+            else:
+                y = np.pad(y, (0, len(y_mix) - len(y)))
+            mag, phase = stft_magphase(y, win_size, hop_size)
         mag = (mag / norm).astype(np.float32)
         base = f"{num2str(idx)}_{song_name}"
         np.save(os.path.join(tar, folder, f"{base}_spec.npy"), mag)

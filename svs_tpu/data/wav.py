@@ -93,7 +93,11 @@ def write_wav(path: str, y: np.ndarray, sample_rate: int,
 
     if subtype == "PCM_16":
         fmt_tag, bits = _WAVE_FORMAT_PCM, 16
-        payload = (np.clip(inter, -1.0, 1.0 - 1.0 / 32768) * 32768.0).astype("<i2").tobytes()
+        # round-to-nearest like libsndfile (astype would truncate toward 0,
+        # a 1-LSB systematic bias vs the on-device quantiser)
+        payload = np.round(
+            np.clip(inter, -1.0, 1.0 - 1.0 / 32768) * 32768.0
+        ).astype("<i2").tobytes()
     elif subtype == "FLOAT":
         fmt_tag, bits = _WAVE_FORMAT_IEEE_FLOAT, 32
         payload = inter.astype("<f4").tobytes()
@@ -143,11 +147,22 @@ def resample(y: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
 def load_audio(path: str, sr: Optional[int] = None, mono: bool = True
                ) -> Tuple[np.ndarray, int]:
     """librosa.load equivalent (reference data.py:78, evaluate.py:22):
-    read, optional mono mixdown, optional resample.  sr=None keeps native."""
-    y, native_sr = read_wav(path)
-    if mono:
-        y = to_mono(y)
-    if sr is not None and sr != native_sr:
-        y = resample(y, native_sr, sr)
-        return y, sr
-    return y, native_sr
+    read, optional mono mixdown, optional resample.  sr=None keeps native.
+
+    Decoding goes through the C++ runtime when available (mmap + native
+    mixdown; parity-tested against this parser), else the numpy parser.
+    """
+    y = None
+    try:
+        from svs_tpu.data import native
+        if native.available():
+            y, file_sr = native.read_wav(path, mono=mono)
+    except Exception:
+        y = None
+    if y is None:
+        y, file_sr = read_wav(path)
+        if mono:
+            y = to_mono(y)
+    if sr is not None and sr != file_sr:
+        return resample(y, file_sr, sr), sr
+    return y, file_sr

@@ -91,6 +91,10 @@ def params_to_state_dict(params: unet.Params, state: unet.State) -> Dict[str, np
     """Inverse of :func:`params_from_state_dict` (reference key naming), for
     exporting TPU-trained weights back to a reference-loadable checkpoint."""
     sd: Dict[str, np.ndarray] = {}
+    # torch's strict load_state_dict also expects num_batches_tracked for
+    # every BN layer (only consulted when momentum=None, which the reference
+    # never uses — 0 is safe)
+    nbt = np.asarray(0, np.int64)
     for i, (p, s) in enumerate(zip(params["enc"], state["enc"]), start=1):
         sd[f"conv{i}.0.weight"] = conv_weight_from_hwio(np.asarray(p["w"]))
         sd[f"conv{i}.0.bias"] = np.asarray(p["b"])
@@ -98,6 +102,7 @@ def params_to_state_dict(params: unet.Params, state: unet.State) -> Dict[str, np
         sd[f"conv{i}.1.bias"] = np.asarray(p["bias"])
         sd[f"conv{i}.1.running_mean"] = np.asarray(s["mean"])
         sd[f"conv{i}.1.running_var"] = np.asarray(s["var"])
+        sd[f"conv{i}.1.num_batches_tracked"] = nbt
     for i, p in enumerate(params["dec"], start=1):
         sd[f"deconv{i}.weight"] = deconv_weight_from_hwio(np.asarray(p["w"]))
         sd[f"deconv{i}.bias"] = np.asarray(p["b"])
@@ -107,6 +112,7 @@ def params_to_state_dict(params: unet.Params, state: unet.State) -> Dict[str, np
             sd[f"deconv{i}_BAD.0.bias"] = np.asarray(p["bias"])
             sd[f"deconv{i}_BAD.0.running_mean"] = np.asarray(s["mean"])
             sd[f"deconv{i}_BAD.0.running_var"] = np.asarray(s["var"])
+            sd[f"deconv{i}_BAD.0.num_batches_tracked"] = nbt
     return sd
 
 

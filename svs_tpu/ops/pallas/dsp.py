@@ -16,9 +16,13 @@ so each grid block is K aligned (TB, hop) x (hop, n_bins) MXU matmuls per
 cos/sin basis, accumulated in f32, plus a VPU magnitude.  The K shifted views
 of the signal are strided XLA slices prepared outside the kernel.
 
-Used where gradients aren't needed (inference/eval paths); the training loss
-keeps the autodiffable XLA STFT.  Correctness is pinned to svs_tpu.ops.stft
-(itself torch/librosa-pinned) in interpret mode (CPU) and compiled (TPU).
+Status: a validated, benchmarkable primitive (``svs-bench --frontend``
+compares it against the XLA path on hardware); the default inference/prep
+paths still use the XLA STFT because they need phase or gradients.  Wiring it
+into gradient-free magnitude consumers (eval-step target magnitudes) needs a
+custom_vjp-free call site and is tracked for a later round.  Correctness is
+pinned to svs_tpu.ops.stft (itself torch/librosa-pinned) in interpret mode
+(CPU) and compiled (TPU).
 """
 
 from __future__ import annotations

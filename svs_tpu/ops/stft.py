@@ -224,12 +224,13 @@ def stft_magphase_jit(y: jax.Array, n_fft: int, hop_length: int):
     return mag.astype(jnp.float32), phase_ri.astype(jnp.float32)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("n_fft", "hop_length", "length"))
-def istft_ri_jit(spec_ri: jax.Array, n_fft: int, hop_length: int,
-                 length: Optional[int] = None):
+@functools.partial(jax.jit, static_argnames=("n_fft", "hop_length"))
+def istft_ri_jit(spec_ri: jax.Array, n_fft: int, hop_length: int):
     """Jitted iSTFT taking the spectrogram as stacked (2, F, T) float32
-    real/imag planes (complex never crosses the host boundary)."""
+    real/imag planes (complex never crosses the host boundary).
+
+    No ``length`` here on purpose: a per-song length would be a fresh jit
+    signature per song (minutes each on remote-compile rigs) — callers slice
+    the full hop*(T-1) output on the host instead."""
     S = (spec_ri[0] + 1j * spec_ri[1]).astype(jnp.complex64)
-    return istft(S, hop_length=hop_length, win_length=n_fft, n_fft=n_fft,
-                 length=length)
+    return istft(S, hop_length=hop_length, win_length=n_fft, n_fft=n_fft)

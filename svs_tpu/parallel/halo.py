@@ -74,11 +74,13 @@ def _sharded_forward(params, bn_state, mix, cfg: SVSConfig, axis_name: str):
     skips = []
     for p, s in zip(params["enc"], bn_state["enc"]):
         xh = _halo_exchange(x, 2, axis_name)
+        # same rounding as unet._conv (output in compute_dtype, then f32) so
+        # sharded == unsharded holds bit-wise in bfloat16 mode too
         x = jax.lax.conv_general_dilated(
             xh.astype(cdtype), p["w"].astype(cdtype),
             window_strides=(2, 2), padding=((2, 2), (0, 0)),
-            dimension_numbers=_DN, preferred_element_type=jnp.float32,
-        ) + p["b"]
+            dimension_numbers=_DN,
+        ).astype(jnp.float32) + p["b"]
         x = _bn_eval(x, p, s, cfg.bn_eps)
         x = jnp.where(x >= 0, x, cfg.leaky_slope * x)
         skips.append(x)
@@ -91,8 +93,7 @@ def _sharded_forward(params, bn_state, mix, cfg: SVSConfig, axis_name: str):
             ih.astype(cdtype), p["w"].astype(cdtype),
             window_strides=(1, 1), padding=((2, 3), (0, 1)),
             lhs_dilation=(2, 2), dimension_numbers=_DN,
-            preferred_element_type=jnp.float32,
-        ) + p["b"]
+        ).astype(jnp.float32) + p["b"]
         if i < 5:
             s = bn_state["dec"][i]
             x = _bn_eval(x, p, s, cfg.bn_eps)
@@ -101,13 +102,18 @@ def _sharded_forward(params, bn_state, mix, cfg: SVSConfig, axis_name: str):
     return jax.nn.sigmoid(x)[..., 0].astype(jnp.float32)
 
 
+@functools.lru_cache(maxsize=32)
 def make_time_sharded_apply(
     mesh: Mesh,
     cfg: Optional[SVSConfig] = None,
     axis_name: str = "data",
 ):
     """Jitted ``fn(params, bn_state, mix (B, F, T))`` with T sharded across
-    the mesh; result equals the unsharded whole-patch forward."""
+    the mesh; result equals the unsharded whole-patch forward.
+
+    lru_cached so repeated calls (e.g. per song) reuse the jit cache instead
+    of building a fresh shard_map wrapper — jax.jit caches by function
+    identity."""
     cfg = cfg or SVSConfig()
 
     fwd = shard_map(

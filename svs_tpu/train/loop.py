@@ -100,7 +100,9 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
     else:
         train_step = make_train_step(cfg, optimizer)
 
-    best_val_loss = 100.0  # reference train.py:209
+    # 100.0 init per reference train.py:209, but restored from the checkpoint
+    # on resume so a resumed run can't overwrite svs_best with a worse model
+    best_val_loss = float(extras.get("best_val_loss", 100.0))
     log_buffer: List[str] = []
     # per-epoch loss history, persisted in checkpoints like the reference's
     # loss_list_total (model.py:112-114, train.py:377-379)

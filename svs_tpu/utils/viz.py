@@ -25,9 +25,8 @@ import matplotlib.pyplot as plt  # noqa: E402
 
 def _amplitude_to_db(mag: np.ndarray, ref: float, amin: float = 1e-5
                      ) -> np.ndarray:
-    db = 20.0 * np.log10(np.maximum(amin, mag)) - 20.0 * np.log10(
-        max(amin, ref))
-    return np.maximum(db, db.max() - 80.0)
+    from svs_tpu.ops.stft import amplitude_to_db  # single source of truth
+    return np.asarray(amplitude_to_db(mag, ref=ref, amin=amin))
 
 
 def debug_figure(
