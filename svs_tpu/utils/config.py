@@ -52,6 +52,9 @@ class SVSConfig:
     mr_fft_sizes: Tuple[int, ...] = (1024, 2048, 512)
     mr_hop_sizes: Tuple[int, ...] = (120, 240, 50)
     mr_win_lengths: Tuple[int, ...] = (600, 1200, 240)
+    # 'matmul_bf16': windowed-DFT MXU matmuls (3.9x faster step on v5e,
+    # loss equal to ~1e-3 rel); 'fft': exact auraloss-parity path
+    mr_mag_impl: str = "matmul_bf16"
 
     # --- compute ---
     compute_dtype: str = "float32"   # "float32" | "bfloat16" for conv compute

@@ -56,8 +56,13 @@ def test_mr_stft_loss_matches_auraloss_formula(rng):
     x = rng.standard_normal((2, 30000)).astype(np.float32) * 0.1
     y = x + rng.standard_normal((2, 30000)).astype(np.float32) * 0.02
     theirs = torch_mr_stft(x, y)
-    ours = float(mrstft.mr_stft_loss(jnp.asarray(x), jnp.asarray(y)))
+    ours = float(mrstft.mr_stft_loss(jnp.asarray(x), jnp.asarray(y),
+                                     impl="fft"))
     np.testing.assert_allclose(ours, theirs, rtol=2e-3)
+    # the fast MXU path must stay within ~1% of the parity path
+    fast = float(mrstft.mr_stft_loss(jnp.asarray(x), jnp.asarray(y),
+                                     impl="matmul_bf16"))
+    np.testing.assert_allclose(fast, theirs, rtol=2e-2)
 
 
 def test_mr_stft_zero_for_identical(rng):
