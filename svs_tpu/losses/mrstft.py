@@ -70,7 +70,10 @@ def _dft_filters(n_fft: int, win: int):
     w[left:left + win, 0] = 0.5 - 0.5 * np.cos(
         2.0 * np.pi * np.arange(win) / win)
     filt = np.concatenate([np.cos(ang) * w, np.sin(ang) * w], axis=1)
-    return jnp.asarray(filt.astype(np.float32))
+    # cache the NUMPY array: a jnp array built during a trace would cache a
+    # tracer and leak it into later traces (UnexpectedTracerError); numpy
+    # constants are staged fresh per trace
+    return filt.astype(np.float32)
 
 
 def _spectral_mag_matmul(x: jax.Array, n_fft: int, hop: int, win: int,

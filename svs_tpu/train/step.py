@@ -15,6 +15,7 @@ a recompile.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -86,7 +87,9 @@ def make_train_step(cfg: Optional[SVSConfig] = None,
         )
         return total, (new_bn, aux)
 
-    @jax.jit
+    # donate the input TrainState: params/opt-state buffers are overwritten
+    # in place instead of double-buffered (halves peak optimizer memory)
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array
              ) -> Tuple[TrainState, Dict[str, jax.Array]]:
         grads, (new_bn, aux) = jax.grad(loss_fn, has_aux=True)(
