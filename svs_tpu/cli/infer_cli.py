@@ -25,6 +25,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--limit", type=int, default=None,
                    help="process only the first N files (the reference "
                         "hard-codes 20)")
+    p.add_argument("--mode", type=str, default="segments",
+                   choices=["segments", "whole"],
+                   help="'segments': reference parity (independent 128-frame "
+                        "windows); 'whole': full-song single-patch forward "
+                        "(full temporal context, no segment seams)")
     p.add_argument("--preset", type=str, default="default")
     return p
 
@@ -66,7 +71,8 @@ def main(argv=None) -> int:
     for name in tqdm(files):
         mix = np.load(os.path.join(args.mixture_folder, name))
         out = separate.separate_magnitude(
-            params, bn_state, mix, vocal_solo=bool(args.vocal_solo), cfg=cfg)
+            params, bn_state, mix, vocal_solo=bool(args.vocal_solo), cfg=cfg,
+            mode=args.mode)
         np.save(os.path.join(args.tar, name), out)
 
     print("Separation finished!")
