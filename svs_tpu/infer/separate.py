@@ -143,6 +143,11 @@ def _separate_wav_jit(params, bn_state, y, cfg: SVSConfig, vocal_solo: bool,
 
     vocal = decode(mask)
     if both:
+        # note the asymmetry with two separate vocal_solo calls: reference
+        # parity zeroes the DC row of EVERY output (inference.py:123), so
+        # vocal(True) + vocal(False) loses the DC bin; both=True instead
+        # complements the DC-zeroed mask (accomp DC weight = 1), making
+        # vocal + accomp reconstruct the input exactly
         accomp = decode(1.0 - mask)
         return vocal, accomp
     return vocal
