@@ -117,7 +117,29 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
                 f.writelines(log_buffer)
             log_buffer = []
 
+    # graceful preemption (SURVEY.md §5 failure recovery): on SIGTERM, save
+    # the latest state + flush logs before exiting, so `--load_path <latest>`
+    # resumes exactly — the reference's recovery story is manual restart from
+    # its per-epoch checkpoint (train.py:369-382); this closes the window of
+    # losing the epoch in flight
+    import signal
+
+    current_epoch = start_epoch
+
+    def _sigterm(_sig, _frm):
+        ckpt_lib.save(ckpt_weight, state, epoch=current_epoch,
+                      extras={"loss_list_total": loss_history,
+                              "best_val_loss": best_val_loss})
+        _flush_log()
+        raise SystemExit(143)
+
+    try:
+        signal.signal(signal.SIGTERM, _sigterm)
+    except ValueError:
+        pass  # not the main thread (e.g. under a server); skip the hook
+
     for ep in range(start_epoch, opts.epoch):
+        current_epoch = ep
         if ep == cfg.lr_drop_epoch:  # train.py:251-262
             state = set_learning_rate(state, cfg.lr_after_drop)
             ckpt_lib.save(
