@@ -152,3 +152,44 @@ def test_fit_end_to_end(tmp_path):
                             "epoch": 3})
     state2 = fit(opts2, cfg)
     assert int(state2.step) == 3  # one more epoch only
+
+
+def test_fit_with_mesh_dp(tmp_path):
+    """The --dp path: fit() over an 8-device mesh (sharded batches, DP step,
+    eval under sharding) must train and checkpoint like single-device."""
+    from svs_tpu.parallel import mesh as mesh_lib
+
+    train_dir = str(tmp_path / "train")
+    _make_spec_dataset(train_dir, n_songs=2)
+    cfg = SVSConfig(samples_per_song=8)
+    opts = TrainOptions(
+        train_folder=train_dir, valid_folder=train_dir, label="dp",
+        epoch=1, batch_size=8, val_interval=1,
+        ckpt_dir=str(tmp_path / "CKPT"), log_dir=str(tmp_path / "LOG"),
+        load_path=str(tmp_path / "none.ckpt"), progress=False,
+        mesh=mesh_lib.make_mesh(),
+    )
+    state = fit(opts, cfg)
+    assert int(state.step) == 2  # 16 items / batch 8
+    assert os.path.exists(os.path.join(opts.ckpt_dir, "svs_dp.ckpt"))
+    log = open(os.path.join(opts.log_dir, "log_dp.txt")).read().splitlines()
+    assert len(log) == 2 and log[1].startswith("Val ")
+
+
+def test_export_pth_loads_strict_in_torch(tmp_path):
+    """Exported .pth must satisfy torch's strict load on a reference-shaped
+    module (incl. num_batches_tracked keys)."""
+    import torch
+    import torch.nn as nn
+    from svs_tpu.train import checkpoint as ckpt_lib
+    from tests.test_unet import build_torch_oracle
+
+    state = create_train_state(jax.random.key(0), SVSConfig())
+    path = str(tmp_path / "x.pth")
+    ckpt_lib.export_pth(path, state, epoch=1)
+
+    m = build_torch_oracle(randomize_stats=False)
+    ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    missing, unexpected = m.load_state_dict(ckpt["model_state_dict"],
+                                            strict=True), None
+    # strict load raises on mismatch; reaching here means full key parity
