@@ -106,3 +106,21 @@ def test_loss_history_persisted(tmp_path):
         os.path.join(opts.ckpt_dir, "svs_h.ckpt"), template)
     assert len(extras2["loss_list_total"]) == 3
     np.testing.assert_allclose(extras2["loss_list_total"][:2], hist)
+
+
+def test_hq44k_preset_geometry():
+    """The 44.1 kHz presets (reference config.py:18-33) flow through the
+    model and loss: input_len 512/1536, hop 256."""
+    import jax
+    import jax.numpy as jnp
+    from svs_tpu.losses.mrstft import combined_loss
+    from svs_tpu.models import unet
+
+    cfg = PRESETS["hq44k"]
+    params, bn = unet.init(jax.random.key(0), cfg)
+    x = jnp.ones((1, 512, cfg.input_len))
+    mask, _ = unet.apply(params, bn, x, train=False, cfg=cfg)
+    assert mask.shape == (1, 512, cfg.input_len)
+    ang = jnp.zeros_like(x)
+    total, aux = combined_loss(mask, x, x * 0.5, ang, ang, cfg)
+    assert np.isfinite(float(total))
