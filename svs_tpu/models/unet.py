@@ -198,15 +198,37 @@ def apply(
 
     x = mix[..., None].astype(jnp.float32)  # NHWC: (B, F, T, 1)
 
-    new_state: State = {"enc": [], "dec": []}
-    skips = []
-    for i, (p, s) in enumerate(zip(params["enc"], state["enc"])):
+    def enc_level(p, s, x):
         x = _conv(x, p["w"], cfg.stride, cdtype) + p["b"]
         x, m, v = _batch_norm(
             x, p["scale"], p["bias"], s["mean"], s["var"],
             train=train, eps=cfg.bn_eps, momentum=cfg.bn_momentum,
         )
         x = jnp.where(x >= 0, x, cfg.leaky_slope * x)  # LeakyReLU(0.2)
+        return x, m, v
+
+    def dec_level(p, s, inp, key):
+        x = _conv_transpose(inp, p["w"], cdtype) + p["b"]
+        x, m, v = _batch_norm(
+            x, p["scale"], p["bias"], s["mean"], s["var"],
+            train=train, eps=cfg.bn_eps, momentum=cfg.bn_momentum,
+        )
+        x = jnp.maximum(x, 0.0)  # ReLU
+        if train:
+            x = _dropout2d(x, cfg.dropout_rate, key)
+        return x, m, v
+
+    if cfg.remat:
+        # rematerialise each level's activations in the backward pass
+        # (identical numerics; trades recompute for activation memory on
+        # long patches, e.g. the fine_tune preset's 1536 frames)
+        enc_level = jax.checkpoint(enc_level)
+        dec_level = jax.checkpoint(dec_level)
+
+    new_state: State = {"enc": [], "dec": []}
+    skips = []
+    for p, s in zip(params["enc"], state["enc"]):
+        x, m, v = enc_level(p, s, x)
         new_state["enc"].append(dict(mean=m, var=v))
         skips.append(x)
 
@@ -218,17 +240,11 @@ def apply(
             inp = skips[5]
         else:
             inp = jnp.concatenate([x, skips[5 - i]], axis=-1)
-        x = _conv_transpose(inp, p["w"], cdtype) + p["b"]
         if i < 5:
-            s = state["dec"][i]
-            x, m, v = _batch_norm(
-                x, p["scale"], p["bias"], s["mean"], s["var"],
-                train=train, eps=cfg.bn_eps, momentum=cfg.bn_momentum,
-            )
-            x = jnp.maximum(x, 0.0)  # ReLU
-            if train:
-                x = _dropout2d(x, cfg.dropout_rate, drop_keys[i])
+            x, m, v = dec_level(p, state["dec"][i], inp, drop_keys[i])
             new_state["dec"].append(dict(mean=m, var=v))
+        else:
+            x = _conv_transpose(inp, p["w"], cdtype) + p["b"]
 
     mask = jax.nn.sigmoid(x)
     return mask[..., 0].astype(jnp.float32), new_state

@@ -58,6 +58,10 @@ class SVSConfig:
 
     # --- compute ---
     compute_dtype: str = "float32"   # "float32" | "bfloat16" for conv compute
+    # rematerialise encoder/decoder levels in the backward pass (trade FLOPs
+    # for activation memory — for long patches like fine_tune's 1536 frames
+    # or big batches)
+    remat: bool = False
 
     @property
     def n_fft_bins(self) -> int:

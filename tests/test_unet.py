@@ -172,3 +172,23 @@ def test_bfloat16_compute_close_to_f32():
     m16, _ = unet.apply(params, state, x, cfg=SVSConfig(compute_dtype="bfloat16"))
     # masks in [0,1]; bf16 conv compute should stay within a few 1e-2
     assert np.max(np.abs(np.asarray(m32) - np.asarray(m16))) < 0.05
+
+
+def test_remat_identical_grads(rng):
+    """cfg.remat trades memory for recompute with identical numerics."""
+    from svs_tpu.losses.masked_l1 import masked_l1_pair
+
+    x = jnp.asarray(rng.random((2, 512, 128)).astype(np.float32))
+    voc = x * 0.5
+    params, state = unet.init(jax.random.key(0))
+
+    def loss(p, cfg):
+        mask, _ = unet.apply(p, state, x, train=True,
+                             dropout_rng=jax.random.key(7), cfg=cfg)
+        return masked_l1_pair(mask, x, voc)[0]
+
+    g_plain = jax.grad(lambda p: loss(p, SVSConfig()))(params)
+    g_remat = jax.grad(lambda p: loss(p, SVSConfig(remat=True)))(params)
+    for a, b in zip(jax.tree.leaves(g_plain), jax.tree.leaves(g_remat)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-5)
