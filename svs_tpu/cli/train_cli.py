@@ -33,6 +33,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log_dir", type=str, default="LOG")
     p.add_argument("--samples_per_song", type=int, default=None,
                    help="override the preset's virtual-epoch patches/song")
+    p.add_argument("--save_every", type=int, default=1,
+                   help="latest-checkpoint cadence in epochs (reference "
+                        "saves every epoch; each save fetches all params "
+                        "to host)")
     return p
 
 
@@ -63,6 +67,7 @@ def main(argv=None) -> int:
         log_dir=args.log_dir,
         seed=args.seed,
         export_pth=args.export_pth,
+        save_every=args.save_every,
         mesh=mesh,
     )
     fit(opts, cfg)

@@ -51,6 +51,10 @@ class TrainOptions:
     seed: int = 0
     export_pth: bool = False
     progress: bool = True
+    # latest-ckpt cadence in epochs; the reference writes every epoch
+    # (train.py:369-382) which is the default, but each save is a full
+    # device->host parameter fetch — raise this on slow links
+    save_every: int = 1
     device_put: Optional[Callable] = None  # sharding hook (parallel.dp)
     mesh: Optional[object] = None  # jax Mesh -> data-parallel training
 
@@ -196,10 +200,12 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
         else:
             print(f"Epoch {ep+1} Avg Loss: {avg_train_loss:.4e}")
 
-        ckpt_lib.save(ckpt_weight, state, epoch=ep + 1,  # latest, every epoch
-                      extras={"loss_list_total": loss_history})
-        if opts.export_pth:
-            ckpt_lib.export_pth(ckpt_weight[:-5] + ".pth", state, epoch=ep + 1)
+        if (ep + 1) % opts.save_every == 0 or ep + 1 == opts.epoch:
+            ckpt_lib.save(ckpt_weight, state, epoch=ep + 1,  # latest
+                          extras={"loss_list_total": loss_history})
+            if opts.export_pth:
+                ckpt_lib.export_pth(ckpt_weight[:-5] + ".pth", state,
+                                    epoch=ep + 1)
 
     _flush_log()
     print("Finish training!")
