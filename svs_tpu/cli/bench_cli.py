@@ -43,8 +43,10 @@ def _frontend_bench(secs: float) -> int:
         jax.block_until_ready(r)
         return (time.perf_counter() - t0) / reps * 1e3
 
+    xla_fn = jax.jit(lambda s: jnp.abs(dsp.stft(s, n_fft=1024,
+                                                hop_length=768)))
     t_pallas = timeit(lambda: pdsp.stft_magnitude(y, 1024, 768))
-    t_xla = timeit(lambda: jnp.abs(dsp.stft(y, n_fft=1024, hop_length=768)))
+    t_xla = timeit(lambda: xla_fn(y))
     err = float(jnp.max(jnp.abs(
         pdsp.stft_magnitude(y, 1024, 768)
         - jnp.abs(dsp.stft(y, n_fft=1024, hop_length=768)))))

@@ -65,8 +65,13 @@ def _stft_mag_kernel(*refs, k_chunks):
     im = jnp.zeros(out_ref.shape, jnp.float32)
     for j in range(k_chunks):
         zj = z_refs[j][:]
-        re += jnp.dot(zj, cos_ref[j], preferred_element_type=jnp.float32)
-        im += jnp.dot(zj, sin_ref[j], preferred_element_type=jnp.float32)
+        # HIGHEST precision: the MXU's default f32 matmul truncates operands
+        # to bf16 (0.05 abs err on song-scale magnitudes); full f32 keeps the
+        # kernel librosa-grade (~1e-3) and it still beats the XLA path
+        re += jnp.dot(zj, cos_ref[j], preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+        im += jnp.dot(zj, sin_ref[j], preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
     out_ref[:] = jnp.sqrt(re * re + im * im)
 
 
