@@ -24,15 +24,30 @@ def build_parser() -> argparse.ArgumentParser:
                    help="ground-truth vocal wav folder")
     p.add_argument("--ext", type=str, default="wav")
     p.add_argument("--out_csv", type=str, default=None)
+    p.add_argument("--jobs", type=int, default=1,
+                   help="parallel worker processes (BSS eval is CPU-bound "
+                        "per track; the reference evaluates serially)")
     return p
+
+
+def _eval_track(paths):
+    """Worker: one track's metrics (importable for process pools)."""
+    pred_path, mix_path, ref_path = paths
+    from svs_tpu.data import wav as wavio
+    from svs_tpu.evaluation import bss
+
+    mix, sr_mix = wavio.load_audio(mix_path, sr=None, mono=True)
+    ref, sr_ref = wavio.load_audio(ref_path, sr=None, mono=True)
+    est, sr_est = wavio.load_audio(pred_path, sr=None, mono=True)
+    if not (sr_mix == sr_ref == sr_est):
+        raise ValueError(f"Sample rate mismatch: mix={sr_mix}, "
+                         f"ref={sr_ref}, est={sr_est}")
+    return bss.compute_metrics_for_track(mix, ref, est)
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     import numpy as np
-
-    from svs_tpu.data import wav as wavio
-    from svs_tpu.evaluation import bss
 
     pred_files = sorted(glob.glob(os.path.join(args.est, f"*.{args.ext}")))
     if not pred_files:
@@ -45,6 +60,7 @@ def main(argv=None) -> int:
     print("=== Start Evaluation ===")
     print(f"#tracks = {len(pred_files)}\n")
 
+    jobs = []
     for pred_path in pred_files:
         basename = os.path.basename(pred_path)
         mix_path = os.path.join(args.mix, basename)
@@ -55,19 +71,27 @@ def main(argv=None) -> int:
         if not os.path.exists(ref_path):
             print(f"[Warning] Vocal ref file not found, skip: {ref_path}")
             continue
-        try:
-            mix, sr_mix = wavio.load_audio(mix_path, sr=None, mono=True)
-            ref, sr_ref = wavio.load_audio(ref_path, sr=None, mono=True)
-            est, sr_est = wavio.load_audio(pred_path, sr=None, mono=True)
-            if not (sr_mix == sr_ref == sr_est):
-                raise ValueError(
-                    f"Sample rate mismatch: mix={sr_mix}, ref={sr_ref}, "
-                    f"est={sr_est}")
-            metrics = bss.compute_metrics_for_track(mix, ref, est)
-        except Exception as e:
-            print(f"[Error] Failed on {basename}: {e}")
-            continue
+        jobs.append((basename, (pred_path, mix_path, ref_path)))
 
+    if args.jobs > 1:
+        from concurrent.futures import ProcessPoolExecutor
+        with ProcessPoolExecutor(max_workers=args.jobs) as pool:
+            futures = [(b, pool.submit(_eval_track, p)) for b, p in jobs]
+            results = []
+            for b, f in futures:
+                try:
+                    results.append((b, f.result()))
+                except Exception as e:
+                    print(f"[Error] Failed on {b}: {e}")
+    else:
+        results = []
+        for b, p in jobs:
+            try:
+                results.append((b, _eval_track(p)))
+            except Exception as e:
+                print(f"[Error] Failed on {b}: {e}")
+
+    for basename, metrics in results:
         track = os.path.splitext(basename)[0]
         print(f"{track[:20]}:\t"
               f"SDR={metrics['SDR']:.3f} dB,\t"

@@ -145,3 +145,16 @@ def test_infer_cli_bad_model(tmp_path):
                          "--tar", str(tmp_path / "o"),
                          "--mixture_folder", str(tmp_path)])
     assert rc == 1
+
+
+def test_eval_cli_parallel_jobs(pipeline_dir, tmp_path):
+    """--jobs N gives identical results to serial evaluation."""
+    root, src, spec = pipeline_dir
+    wav_out = str(root / "wav_out")
+    gt_voc, gt_mix = str(root / "gt_vocal"), str(root / "gt_mix")
+    c1, c2 = str(tmp_path / "a.csv"), str(tmp_path / "b.csv")
+    assert eval_cli.main(["--est", wav_out, "--mix", gt_mix, "--ref", gt_voc,
+                          "--out_csv", c1]) == 0
+    assert eval_cli.main(["--est", wav_out, "--mix", gt_mix, "--ref", gt_voc,
+                          "--out_csv", c2, "--jobs", "2"]) == 0
+    assert open(c1).read() == open(c2).read()
