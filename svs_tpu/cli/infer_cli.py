@@ -26,10 +26,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="process only the first N files (the reference "
                         "hard-codes 20)")
     p.add_argument("--mode", type=str, default="segments",
-                   choices=["segments", "whole"],
+                   choices=["segments", "whole", "overlap"],
                    help="'segments': reference parity (independent 128-frame "
-                        "windows); 'whole': full-song single-patch forward "
-                        "(full temporal context, no segment seams)")
+                        "windows); 'whole': full-song single-patch forward; "
+                        "'overlap': 50%%-overlap windows with triangular "
+                        "crossfade (no segment seams)")
     p.add_argument("--preset", type=str, default="default")
     return p
 

@@ -64,6 +64,49 @@ def _separate_spec_jit(params, bn_state, mag, cfg: SVSConfig,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "vocal_solo"))
+def _separate_overlap_jit(params, bn_state, mag, cfg: SVSConfig,
+                          vocal_solo: bool):
+    """50%-overlapping windows with triangular crossfade.
+
+    The reference's non-overlapping segments give every frame a mask computed
+    from a window that may start/end right next to it (seam artefacts,
+    inference.py:79-116).  Here windows step input_len/2 and each frame's
+    mask is the crossfaded blend of the two windows that saw it — same model,
+    smoother masks.  Input (513, T) with T a multiple of input_len.
+    """
+    f512 = mag[1:]
+    f, t = f512.shape
+    seg = cfg.input_len
+    hop = seg // 2
+    # half-window pad each side so edge frames also get two full windows
+    x = jnp.pad(f512, ((0, 0), (hop, hop)))
+    # hop-row view: window w covers rows [w, w+2); gather-free assembly from
+    # two shifted row slices (same trick as ops.stft framing)
+    rows = x.reshape(f, -1, hop)                       # (F, T/hop + 2, hop)
+    segs = jnp.concatenate([rows[:, :-1], rows[:, 1:]], axis=-1)
+    segs = segs.transpose(1, 0, 2)                     # (n_win, F, seg)
+
+    mask, _ = unet.apply(params, bn_state, segs, train=False, cfg=cfg)
+    if not vocal_solo:
+        mask = 1.0 - mask
+
+    # triangular crossfade; the ascending half of window w and descending
+    # half of window w-1 sum to exactly 1 on their shared hop of frames
+    asc = (jnp.arange(hop, dtype=jnp.float32) + 0.5) / hop
+    w = jnp.concatenate([asc, asc[::-1]])              # (seg,)
+    weighted = mask * w[None, None, :]
+    first = weighted[:, :, :hop]                       # rows [w, w+1)
+    second = weighted[:, :, hop:]                      # rows [w+1, w+2)
+    n_rows = t // hop + 2
+    acc = jnp.zeros((n_rows, f, hop), jnp.float32)
+    acc = acc.at[:-1].add(first)
+    acc = acc.at[1:].add(second)
+    mask_full = acc[1:-1].transpose(1, 0, 2).reshape(f, t)  # drop pad rows
+    pred = f512 * mask_full
+    return jnp.concatenate([jnp.zeros((1, t), mag.dtype), pred])
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "vocal_solo"))
 def _separate_whole_jit(params, bn_state, mag, cfg: SVSConfig,
                         vocal_solo: bool):
     """Whole-song-as-one-patch masking: the model is fully convolutional in
@@ -92,17 +135,18 @@ def separate_magnitude(
 
     mode='segments' reproduces the reference's independent 128-frame windows
     (inference.py:75-120); mode='whole' runs the song as ONE patch for full
-    temporal context (no segment seams — an extension the fully-convolutional
-    architecture supports natively).
+    temporal context; mode='overlap' blends 50%-overlapping windows with a
+    triangular crossfade (smooth masks, no hard seams) — both extensions the
+    fully-convolutional architecture supports natively.
     """
     cfg = cfg or SVSConfig()
     t = mag.shape[1]
-    if mode == "whole":
+    if mode in ("whole", "overlap"):
         granule = 64 * _SEG_BUCKET
         t_padded = _cdiv(max(t, granule), granule) * granule
         mag_p = np.pad(mag.astype(np.float32), ((0, 0), (0, t_padded - t)))
-        out = _separate_whole_jit(params, bn_state, jnp.asarray(mag_p), cfg,
-                                  vocal_solo)
+        fn = _separate_whole_jit if mode == "whole" else _separate_overlap_jit
+        out = fn(params, bn_state, jnp.asarray(mag_p), cfg, vocal_solo)
         return np.asarray(out)[:, :t]
     n_seg = max(_cdiv(t, cfg.input_len), 1)
     n_seg_padded = _cdiv(n_seg, _SEG_BUCKET) * _SEG_BUCKET

@@ -120,3 +120,18 @@ def test_whole_mode(rng):
     # whole-mode pads to 512-frame granules, halo path to 64*n granules —
     # tail padding differs, so compare the frames fully inside both
     np.testing.assert_allclose(out[:, :512], sharded[:, :512], atol=3e-5)
+
+
+def test_overlap_mode(rng):
+    """50%-overlap crossfade: complementary masks still reconstruct, the
+    crossfade weights sum to exactly 1, and where all windows agree (a
+    constant-input region) the blended mask equals the segment mask."""
+    params, bn_state = _params()
+    mag = rng.random((513, 700)).astype(np.float32)
+    v = separate.separate_magnitude(params, bn_state, mag, mode="overlap")
+    assert v.shape == (513, 700) and (v[0] == 0).all()
+    a = separate.separate_magnitude(params, bn_state, mag, mode="overlap",
+                                    vocal_solo=False)
+    # weights summing to 1 makes the complement property exact
+    np.testing.assert_allclose(v[1:] + a[1:], mag[1:], atol=1e-5)
+    assert (v[1:] <= mag[1:] + 1e-5).all()  # blended mask stays in [0,1]
