@@ -38,48 +38,41 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def _mask_frames(params, bn_state, mag_nodc: jax.Array, cfg: SVSConfig,
-                 vocal_solo: bool) -> jax.Array:
-    """mag_nodc: (512, T) with T a multiple of input_len. Returns the mask
-    (512, T) from the batched segment forward."""
+def _mask_segments(params, bn_state, mag_nodc: jax.Array, cfg: SVSConfig
+                   ) -> jax.Array:
+    """Reference semantics: independent input_len windows (inference.py:
+    79-116), batched.  mag_nodc (512, T), T a multiple of input_len."""
     f, t = mag_nodc.shape
     seg_len = cfg.input_len
     n_seg = t // seg_len
     segs = mag_nodc.reshape(f, n_seg, seg_len).transpose(1, 0, 2)
     mask, _ = unet.apply(params, bn_state, segs, train=False, cfg=cfg)
-    if not vocal_solo:
-        mask = 1.0 - mask
     return mask.transpose(1, 0, 2).reshape(f, t)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cfg", "vocal_solo"))
-def _separate_spec_jit(params, bn_state, mag, cfg: SVSConfig,
-                       vocal_solo: bool):
-    """(513, T) normalised magnitude -> (513, T) masked magnitude
-    (reference inference.py:65-123 semantics, batched)."""
-    mask = _mask_frames(params, bn_state, mag[1:], cfg, vocal_solo)
-    pred = mag[1:] * mask
-    return jnp.concatenate([jnp.zeros((1, mag.shape[1]), mag.dtype), pred])
+def _mask_whole(params, bn_state, mag_nodc: jax.Array, cfg: SVSConfig
+                ) -> jax.Array:
+    """Whole-song single-patch forward: the model is fully convolutional in
+    time (SURVEY.md §5), so every frame gets full temporal context."""
+    mask, _ = unet.apply(params, bn_state, mag_nodc[None], train=False,
+                         cfg=cfg)
+    return mask[0]
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "vocal_solo"))
-def _separate_overlap_jit(params, bn_state, mag, cfg: SVSConfig,
-                          vocal_solo: bool):
-    """50%-overlapping windows with triangular crossfade.
+def _mask_overlap(params, bn_state, mag_nodc: jax.Array, cfg: SVSConfig
+                  ) -> jax.Array:
+    """50%-overlapping windows blended with a triangular crossfade.
 
-    The reference's non-overlapping segments give every frame a mask computed
-    from a window that may start/end right next to it (seam artefacts,
-    inference.py:79-116).  Here windows step input_len/2 and each frame's
-    mask is the crossfaded blend of the two windows that saw it — same model,
-    smoother masks.  Input (513, T) with T a multiple of input_len.
+    The reference's non-overlapping segments give frames near a boundary a
+    mask computed from a window that ends right next to them (seam
+    artefacts).  Windows here step input_len/2; each frame's mask blends the
+    two windows that saw it.  T must be a multiple of input_len.
     """
-    f512 = mag[1:]
-    f, t = f512.shape
+    f, t = mag_nodc.shape
     seg = cfg.input_len
     hop = seg // 2
     # half-window pad each side so edge frames also get two full windows
-    x = jnp.pad(f512, ((0, 0), (hop, hop)))
+    x = jnp.pad(mag_nodc, ((0, 0), (hop, hop)))
     # hop-row view: window w covers rows [w, w+2); gather-free assembly from
     # two shifted row slices (same trick as ops.stft framing)
     rows = x.reshape(f, -1, hop)                       # (F, T/hop + 2, hop)
@@ -87,8 +80,6 @@ def _separate_overlap_jit(params, bn_state, mag, cfg: SVSConfig,
     segs = segs.transpose(1, 0, 2)                     # (n_win, F, seg)
 
     mask, _ = unet.apply(params, bn_state, segs, train=False, cfg=cfg)
-    if not vocal_solo:
-        mask = 1.0 - mask
 
     # triangular crossfade; the ascending half of window w and descending
     # half of window w-1 sum to exactly 1 on their shared hop of frames
@@ -101,22 +92,31 @@ def _separate_overlap_jit(params, bn_state, mag, cfg: SVSConfig,
     acc = jnp.zeros((n_rows, f, hop), jnp.float32)
     acc = acc.at[:-1].add(first)
     acc = acc.at[1:].add(second)
-    mask_full = acc[1:-1].transpose(1, 0, 2).reshape(f, t)  # drop pad rows
-    pred = f512 * mask_full
-    return jnp.concatenate([jnp.zeros((1, t), mag.dtype), pred])
+    return acc[1:-1].transpose(1, 0, 2).reshape(f, t)  # drop pad rows
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "vocal_solo"))
-def _separate_whole_jit(params, bn_state, mag, cfg: SVSConfig,
-                        vocal_solo: bool):
-    """Whole-song-as-one-patch masking: the model is fully convolutional in
-    time (SURVEY.md §5), so a (1, 512, T) forward gives every frame full
-    temporal context instead of the reference's isolated 128-frame segments."""
-    mask, _ = unet.apply(params, bn_state, mag[None, 1:], train=False,
-                         cfg=cfg)
-    mask = mask[0]
+_MASK_MODES = {
+    "segments": _mask_segments,
+    "whole": _mask_whole,
+    "overlap": _mask_overlap,
+}
+
+
+def _mask_frames(params, bn_state, mag_nodc: jax.Array, cfg: SVSConfig,
+                 vocal_solo: bool, mode: str = "segments") -> jax.Array:
+    mask = _MASK_MODES[mode](params, bn_state, mag_nodc, cfg)
     if not vocal_solo:
         mask = 1.0 - mask
+    return mask
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "vocal_solo", "mode"))
+def _separate_spec_jit(params, bn_state, mag, cfg: SVSConfig,
+                       vocal_solo: bool, mode: str = "segments"):
+    """(513, T) normalised magnitude -> (513, T) masked magnitude; DC row
+    dropped before the model and re-added as zeros (inference.py:65-123)."""
+    mask = _mask_frames(params, bn_state, mag[1:], cfg, vocal_solo, mode)
     pred = mag[1:] * mask
     return jnp.concatenate([jnp.zeros((1, mag.shape[1]), mag.dtype), pred])
 
@@ -140,27 +140,25 @@ def separate_magnitude(
     fully-convolutional architecture supports natively.
     """
     cfg = cfg or SVSConfig()
+    if mode not in _MASK_MODES:
+        raise ValueError(f"unknown mode {mode!r}; expected one of "
+                         f"{sorted(_MASK_MODES)}")
     t = mag.shape[1]
-    if mode in ("whole", "overlap"):
-        granule = 64 * _SEG_BUCKET
-        t_padded = _cdiv(max(t, granule), granule) * granule
-        mag_p = np.pad(mag.astype(np.float32), ((0, 0), (0, t_padded - t)))
-        fn = _separate_whole_jit if mode == "whole" else _separate_overlap_jit
-        out = fn(params, bn_state, jnp.asarray(mag_p), cfg, vocal_solo)
-        return np.asarray(out)[:, :t]
+    # time padded to a bucketed multiple of input_len (all modes need
+    # input_len | T; bucketing bounds the number of compiled shapes)
     n_seg = max(_cdiv(t, cfg.input_len), 1)
     n_seg_padded = _cdiv(n_seg, _SEG_BUCKET) * _SEG_BUCKET
     t_padded = n_seg_padded * cfg.input_len
     mag_p = np.pad(mag.astype(np.float32), ((0, 0), (0, t_padded - t)))
     out = _separate_spec_jit(params, bn_state, jnp.asarray(mag_p), cfg,
-                             vocal_solo)
+                             vocal_solo, mode)
     return np.asarray(out)[:, :t]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "vocal_solo", "both"))
+    jax.jit, static_argnames=("cfg", "vocal_solo", "both", "mode"))
 def _separate_wav_jit(params, bn_state, y, cfg: SVSConfig, vocal_solo: bool,
-                      both: bool):
+                      both: bool, mode: str = "segments"):
     """Padded waveform -> separated waveform(s); one XLA program.
 
     Uses the exact complex spectrogram (true phase, not unit-phase quantised)
@@ -177,7 +175,8 @@ def _separate_wav_jit(params, bn_state, y, cfg: SVSConfig, vocal_solo: bool,
     t_padded = _cdiv(t, seg) * seg
     mag_in = jnp.pad(mag[1:] / norm, ((0, 0), (0, t_padded - t)))
 
-    mask = _mask_frames(params, bn_state, mag_in, cfg, vocal_solo)[:, :t]
+    mask = _mask_frames(params, bn_state, mag_in, cfg, vocal_solo,
+                        mode)[:, :t]
     mask = jnp.concatenate([jnp.zeros((1, t), mask.dtype), mask])  # DC row 0
 
     def decode(m):
@@ -201,14 +200,15 @@ _SAMPLE_BUCKET = 1 << 18
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "vocal_solo", "both"))
+    jax.jit, static_argnames=("cfg", "vocal_solo", "both", "mode"))
 def _separate_wav_pcm16_jit(params, bn_state, y_i16, cfg: SVSConfig,
-                            vocal_solo: bool, both: bool):
+                            vocal_solo: bool, both: bool,
+                            mode: str = "segments"):
     """PCM16 variant: int16 in, int16 out.  Decode (x/32768) and re-quantise
     happen on device, halving host<->device bytes — transfers, not FLOPs, are
     the wall for tunnelled/serving deployments."""
     y = y_i16.astype(jnp.float32) / 32768.0
-    out = _separate_wav_jit(params, bn_state, y, cfg, vocal_solo, both)
+    out = _separate_wav_jit(params, bn_state, y, cfg, vocal_solo, both, mode)
 
     def q(x):
         return jnp.clip(jnp.round(x * 32768.0), -32768, 32767).astype(jnp.int16)
@@ -224,6 +224,7 @@ def separate_wav_stream(
     vocal_solo: bool = True,
     cfg: Optional[SVSConfig] = None,
     pcm16: bool = False,
+    mode: str = "segments",
 ):
     """Sustained streaming separation of many songs with software pipelining.
 
@@ -248,12 +249,12 @@ def separate_wav_stream(
             y_p = jax.device_put(np.pad(np.asarray(y, np.int16),
                                         (0, n_pad - n)))
             out = _separate_wav_pcm16_jit(params, bn_state, y_p, cfg,
-                                          vocal_solo, False)
+                                          vocal_solo, False, mode)
         else:
             y_p = jax.device_put(np.pad(np.asarray(y, np.float32),
                                         (0, n_pad - n)))
             out = _separate_wav_jit(params, bn_state, y_p, cfg, vocal_solo,
-                                    False)
+                                    False, mode)
         try:
             out.copy_to_host_async()
         except Exception:
@@ -270,17 +271,22 @@ def separate_wav(
     vocal_solo: bool = True,
     both: bool = False,
     cfg: Optional[SVSConfig] = None,
+    mode: str = "segments",
 ) -> np.ndarray | Tuple[np.ndarray, np.ndarray]:
     """Full separation of a host waveform at the configured sample rate.
 
     Returns the vocal estimate (or (vocal, accompaniment) with both=True),
-    same length and scale as the input.
+    same length and scale as the input.  mode as in separate_magnitude.
     """
     cfg = cfg or SVSConfig()
+    if mode not in _MASK_MODES:
+        raise ValueError(f"unknown mode {mode!r}; expected one of "
+                         f"{sorted(_MASK_MODES)}")
     n = len(y)
     n_pad = _cdiv(max(n, cfg.window_size), _SAMPLE_BUCKET) * _SAMPLE_BUCKET
     y_p = jnp.asarray(np.pad(np.asarray(y, np.float32), (0, n_pad - n)))
-    out = _separate_wav_jit(params, bn_state, y_p, cfg, vocal_solo, both)
+    out = _separate_wav_jit(params, bn_state, y_p, cfg, vocal_solo, both,
+                            mode)
     if both:
         return np.asarray(out[0])[:n], np.asarray(out[1])[:n]
     return np.asarray(out)[:n]

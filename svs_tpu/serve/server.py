@@ -56,18 +56,19 @@ class SeparationService:
             item = self._q.get()
             if item is None:
                 return
-            y, vocal_solo, done = item
+            y, vocal_solo, mode, done = item
             try:
                 out = separate.separate_wav(
                     self.params, self.bn_state, y,
-                    vocal_solo=vocal_solo, cfg=self.cfg)
+                    vocal_solo=vocal_solo, cfg=self.cfg, mode=mode)
                 done.put(("ok", out))
             except Exception as e:  # propagate to the request thread
                 done.put(("error", str(e)))
 
-    def separate(self, y: np.ndarray, vocal_solo: bool = True) -> np.ndarray:
+    def separate(self, y: np.ndarray, vocal_solo: bool = True,
+                 mode: str = "segments") -> np.ndarray:
         done: queue.Queue = queue.Queue(1)
-        self._q.put((y, vocal_solo, done))
+        self._q.put((y, vocal_solo, mode, done))
         status, payload = done.get()
         if status != "ok":
             raise RuntimeError(payload)
@@ -108,6 +109,9 @@ def make_handler(service: SeparationService):
                 return self._json(404, {"error": "unknown path"})
             q = parse_qs(parsed.query)
             vocal_solo = q.get("vocal_solo", ["1"])[0] != "0"
+            mode = q.get("mode", ["segments"])[0]
+            if mode not in ("segments", "whole", "overlap"):
+                return self._json(400, {"error": f"unknown mode {mode!r}"})
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 raw = self.rfile.read(n)
@@ -115,7 +119,8 @@ def make_handler(service: SeparationService):
                 y, sr = _read_wav_bytes(tmp)
                 if sr != cfg.sample_rate:
                     y = wavio.resample(y, sr, cfg.sample_rate)
-                out = service.separate(y.astype(np.float32), vocal_solo)
+                out = service.separate(y.astype(np.float32), vocal_solo,
+                                       mode)
                 if sr != cfg.sample_rate:
                     out = wavio.resample(out, cfg.sample_rate, sr)
                 buf = io.BytesIO()

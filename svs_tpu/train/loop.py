@@ -121,26 +121,32 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
                 f.writelines(log_buffer)
             log_buffer = []
 
-    # graceful preemption (SURVEY.md §5 failure recovery): on SIGTERM, save
-    # the latest state + flush logs before exiting, so `--load_path <latest>`
-    # resumes exactly — the reference's recovery story is manual restart from
-    # its per-epoch checkpoint (train.py:369-382); this closes the window of
-    # losing the epoch in flight
+    # graceful preemption (SURVEY.md §5 failure recovery): SIGTERM sets a
+    # flag only; the loop saves at its next safe point and exits 143, so
+    # `--load_path <latest>` resumes — the reference's recovery story is
+    # manual restart from its per-epoch checkpoint (train.py:369-382).
+    # Saving inside the handler itself would race the train step's donated
+    # buffers (the signal can land between the jit call and the rebinding of
+    # `state`, when the old buffers are already deleted).
     import signal
 
-    current_epoch = start_epoch
+    stop_requested = False
 
     def _sigterm(_sig, _frm):
-        ckpt_lib.save(ckpt_weight, state, epoch=current_epoch,
-                      extras={"loss_list_total": loss_history,
-                              "best_val_loss": best_val_loss})
-        _flush_log()
-        raise SystemExit(143)
+        nonlocal stop_requested
+        stop_requested = True
 
     try:
         signal.signal(signal.SIGTERM, _sigterm)
     except ValueError:
         pass  # not the main thread (e.g. under a server); skip the hook
+
+    def _preempt_exit(epoch_to_save: int):
+        ckpt_lib.save(ckpt_weight, state, epoch=epoch_to_save,
+                      extras={"loss_list_total": loss_history,
+                              "best_val_loss": best_val_loss})
+        _flush_log()
+        raise SystemExit(143)
 
     for ep in range(start_epoch, opts.epoch):
         current_epoch = ep
@@ -165,6 +171,9 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
             rng, sub = jax.random.split(rng)
             state, aux = train_step(state, put(batch), sub)
             losses.append(aux["total"])  # device scalar; fetched lazily
+            if stop_requested:
+                # mid-epoch: save with epoch=ep so resume re-runs this epoch
+                _preempt_exit(ep)
 
         losses = [float(x) for x in losses]
         avg_train_loss = float(np.mean(losses)) if losses else float("nan")
@@ -202,10 +211,14 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
 
         if (ep + 1) % opts.save_every == 0 or ep + 1 == opts.epoch:
             ckpt_lib.save(ckpt_weight, state, epoch=ep + 1,  # latest
-                          extras={"loss_list_total": loss_history})
+                          extras={"loss_list_total": loss_history,
+                                  "best_val_loss": best_val_loss})
             if opts.export_pth:
                 ckpt_lib.export_pth(ckpt_weight[:-5] + ".pth", state,
                                     epoch=ep + 1)
+        if stop_requested:
+            # epoch complete (incl. its saves): record epoch=ep+1 and exit
+            _preempt_exit(ep + 1)
 
     _flush_log()
     print("Finish training!")

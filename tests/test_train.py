@@ -190,6 +190,5 @@ def test_export_pth_loads_strict_in_torch(tmp_path):
 
     m = build_torch_oracle(randomize_stats=False)
     ckpt = torch.load(path, map_location="cpu", weights_only=True)
-    missing, unexpected = m.load_state_dict(ckpt["model_state_dict"],
-                                            strict=True), None
-    # strict load raises on mismatch; reaching here means full key parity
+    # strict load raises on any missing/unexpected key
+    m.load_state_dict(ckpt["model_state_dict"], strict=True)
