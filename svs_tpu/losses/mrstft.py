@@ -91,8 +91,11 @@ def _spectral_mag_matmul(x: jax.Array, n_fft: int, hop: int, win: int,
     lead = x.shape[:-1]
     xp = jnp.pad(x.reshape(-1, x.shape[-1]),
                  [(0, 0), (n_fft // 2, n_fft // 2)], mode="reflect")
-    frames = dsp.frame_signal(xp, n_fft, hop)       # (B, n_frames, n_fft)
-    out = jnp.dot(frames.astype(dtype), _dft_filters(n_fft, win).astype(dtype),
+    # cast BEFORE framing: the materialised (B, n_frames, n_fft) frame
+    # tensors are the loss chain's dominant HBM traffic — writing them in the
+    # matmul dtype halves it
+    frames = dsp.frame_signal(xp.astype(dtype), n_fft, hop)
+    out = jnp.dot(frames, _dft_filters(n_fft, win).astype(dtype),
                   preferred_element_type=jnp.float32)
     n_bins = n_fft // 2 + 1
     power = out[..., :n_bins] ** 2 + out[..., n_bins:] ** 2
