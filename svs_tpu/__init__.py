@@ -35,6 +35,11 @@ def _enable_persistent_compilation_cache() -> None:
     try:
         import jax
 
+        # TPU-only: remote TPU compiles cost 20s-10min each, CPU compiles
+        # cost seconds — and reloading CPU AOT blobs emits feature-mismatch
+        # warnings (and could in principle SIGILL across machine types)
+        if jax.default_backend() == "cpu":
+            return
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
