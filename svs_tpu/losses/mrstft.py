@@ -103,9 +103,22 @@ def _spectral_mag_matmul(x: jax.Array, n_fft: int, hop: int, win: int,
     return jnp.swapaxes(mag, -1, -2).reshape(*lead, n_bins, -1)
 
 
+def _spectral_mag_pallas(x: jax.Array, n_fft: int, hop: int, win: int
+                         ) -> jax.Array:
+    """Fused Pallas kernel with custom VJP (ops/pallas/diff_mag.py): framing
+    + windowed-DFT + magnitude in one pass, frames never materialised in HBM.
+    Same bf16-matmul numerics as 'matmul_bf16'."""
+    from svs_tpu.ops.pallas.diff_mag import spectral_mag
+
+    lead = x.shape[:-1]
+    out = spectral_mag(x.reshape(-1, x.shape[-1]), n_fft, hop, win)
+    return out.reshape(*lead, *out.shape[1:])
+
+
 _MAG_IMPLS = {
     "fft": _spectral_mag_fft,
     "matmul_bf16": _spectral_mag_matmul,
+    "pallas_bf16": _spectral_mag_pallas,
 }
 
 
