@@ -82,3 +82,10 @@ def test_native_wav_float_subtype(tmp_path, rng):
     wavio.write_wav(p, y, 8192, subtype="FLOAT")
     ours, _ = native.read_wav(p)
     np.testing.assert_allclose(ours, y, atol=1e-7)
+
+
+def test_npy_unsupported_dtype_rejected(tmp_path):
+    p = str(tmp_path / "f8.npy")
+    np.save(p, np.zeros((3, 4), np.float64))
+    with pytest.raises(OSError):
+        native.NpyHandle(p)

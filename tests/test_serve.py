@@ -112,3 +112,24 @@ def test_unknown_path_404(server_url):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(server_url + "/nope")
     assert e.value.code == 404
+
+
+def test_separate_mode_whole(server_url, rng, tmp_path):
+    y = (rng.standard_normal(8192 * 2) * 0.1).astype(np.float32)
+    req = urllib.request.Request(server_url + "/separate?mode=whole",
+                                 data=_wav_bytes(y, 8192), method="POST")
+    with urllib.request.urlopen(req) as r:
+        out = r.read()
+    p = tmp_path / "w.wav"
+    p.write_bytes(out)
+    v, sr = wavio.read_wav(str(p))
+    assert sr == 8192 and abs(len(v) - len(y)) < 2
+
+
+def test_separate_bad_mode_400(server_url, rng):
+    y = (rng.standard_normal(8192) * 0.1).astype(np.float32)
+    req = urllib.request.Request(server_url + "/separate?mode=bogus",
+                                 data=_wav_bytes(y, 8192), method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req)
+    assert e.value.code == 400
