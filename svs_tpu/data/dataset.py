@@ -191,8 +191,9 @@ class PatchDataset:
                                 ("mix", "voc", "mix_angle", "voc_angle"))
                         }
                     q.put(batch)
-            finally:
                 q.put(None)
+            except BaseException as e:  # surface in the consumer, don't
+                q.put(e)                # silently truncate the epoch
 
         q: queue.Queue = queue.Queue(maxsize=prefetch)
         t = threading.Thread(target=produce, args=(q,), daemon=True)
@@ -201,6 +202,8 @@ class PatchDataset:
             item = q.get()
             if item is None:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item
 
     def steps_per_epoch(self, batch_size: int, drop_last: bool = False) -> int:

@@ -180,3 +180,17 @@ def test_patch_dataset_batches(tmp_path):
     # deterministic under the same seed
     again = list(ds.batches(batch_size=5, seed=0))
     np.testing.assert_array_equal(batches[0]["mix"], again[0]["mix"])
+
+
+def test_batches_propagates_loader_errors(tmp_path):
+    """A corrupted song must raise in the consumer, not silently truncate
+    the epoch."""
+    root = _make_spec_dataset(tmp_path, n_songs=2)
+    # corrupt one phase file after discovery
+    ds = PatchDataset(root, samples_per_song=2, input_len=128,
+                      backend="numpy")
+    victim = os.path.join(root, "mixture", "0001_s1_phase.npy")
+    with open(victim, "wb") as f:
+        f.write(b"garbage")
+    with pytest.raises(Exception):
+        list(ds.batches(batch_size=2, seed=0))
