@@ -22,9 +22,8 @@ local and the tail frames are discarded.
 
 from __future__ import annotations
 
-import math
 import os
-from typing import Iterable, List, Optional, Tuple
+from typing import Iterable, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np

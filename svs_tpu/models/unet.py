@@ -28,7 +28,6 @@ Design departures from the reference (TPU-first, not a translation):
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax

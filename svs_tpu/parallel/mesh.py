@@ -10,7 +10,7 @@ no hand-written NCCL analogue to port.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np
