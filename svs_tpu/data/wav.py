@@ -46,6 +46,8 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
 
     if fmt is None or raw is None:
         raise ValueError(f"{path}: missing fmt/data chunk")
+    if len(fmt) < 16:
+        raise ValueError(f"{path}: truncated fmt chunk ({len(fmt)} bytes)")
 
     audio_format, n_channels, sample_rate, _, _, bits = struct.unpack(
         "<HHIIHH", fmt[:16]

@@ -194,3 +194,40 @@ def test_batches_propagates_loader_errors(tmp_path):
         f.write(b"garbage")
     with pytest.raises(Exception):
         list(ds.batches(batch_size=2, seed=0))
+
+
+def test_wav_reader_malformed_inputs(tmp_path):
+    """Malformed RIFF files fail with clean ValueErrors; sloppy-but-decodable
+    ones (lying chunk sizes, leading LIST chunks) are tolerated."""
+    import struct
+
+    def w(name, content):
+        p = str(tmp_path / name)
+        open(p, "wb").write(content)
+        return p
+
+    fmt16 = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, SR, SR * 2, 2, 16)
+    for name, content in {
+        "empty.wav": b"",
+        "short.wav": b"RIFF",
+        "notriff.wav": b"ABCD" + b"\x00" * 100,
+        "nodata.wav": b"RIFF" + struct.pack("<I", 40) + b"WAVE" + fmt16,
+        "shortfmt.wav": b"RIFF" + struct.pack("<I", 60) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 4) + b"\x01\x00\x01\x00"
+            + b"data" + struct.pack("<I", 2) + b"\x00\x00",
+    }.items():
+        with pytest.raises(ValueError):
+            wavio.read_wav(w(name, content))
+
+    # lying data size clamps to EOF
+    p = w("lying.wav", b"RIFF" + struct.pack("<I", 100) + b"WAVE" + fmt16
+          + b"data" + struct.pack("<I", 99999) + b"\x00\x00" * 4)
+    y, sr = wavio.read_wav(p)
+    assert len(y) == 4 and sr == SR
+
+    # unknown leading chunk is skipped
+    p = w("list.wav", b"RIFF" + struct.pack("<I", 200) + b"WAVE"
+          + b"LIST" + struct.pack("<I", 4) + b"INFO" + fmt16
+          + b"data" + struct.pack("<I", 4) + b"\x00\x01\x00\x02")
+    y, sr = wavio.read_wav(p)
+    assert len(y) == 2 and sr == SR
