@@ -37,6 +37,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="latest-checkpoint cadence in epochs (reference "
                         "saves every epoch; each save fetches all params "
                         "to host)")
+    p.add_argument("--async_save", action="store_true",
+                   help="write checkpoints from a worker thread (hides the "
+                        "device->host fetch on slow links)")
     return p
 
 
@@ -68,6 +71,7 @@ def main(argv=None) -> int:
         seed=args.seed,
         export_pth=args.export_pth,
         save_every=args.save_every,
+        async_save=args.async_save,
         mesh=mesh,
     )
     fit(opts, cfg)

@@ -50,6 +50,10 @@ class TrainOptions:
     log_dir: str = "LOG"
     seed: int = 0
     export_pth: bool = False
+    # write checkpoints from a worker thread (device-side snapshot first):
+    # hides the device->host parameter fetch that dominates epoch time on
+    # slow host links; off by default for strict write-then-crash semantics
+    async_save: bool = False
     progress: bool = True
     # latest-ckpt cadence in epochs; the reference writes every epoch
     # (train.py:369-382) which is the default, but each save is a full
@@ -107,6 +111,8 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
     # 100.0 init per reference train.py:209, but restored from the checkpoint
     # on resume so a resumed run can't overwrite svs_best with a worse model
     best_val_loss = float(extras.get("best_val_loss", 100.0))
+    saver = ckpt_lib.AsyncSaver() if opts.async_save else None
+    save_ckpt = saver.save if saver else ckpt_lib.save
     log_buffer: List[str] = []
     # per-epoch loss history, persisted in checkpoints like the reference's
     # loss_list_total (model.py:112-114, train.py:377-379)
@@ -142,9 +148,11 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
         pass  # not the main thread (e.g. under a server); skip the hook
 
     def _preempt_exit(epoch_to_save: int):
-        ckpt_lib.save(ckpt_weight, state, epoch=epoch_to_save,
-                      extras={"loss_list_total": loss_history,
-                              "best_val_loss": best_val_loss})
+        save_ckpt(ckpt_weight, state, epoch=epoch_to_save,
+                  extras={"loss_list_total": loss_history,
+                          "best_val_loss": best_val_loss})
+        if saver:
+            saver.close()
         _flush_log()
         raise SystemExit(143)
 
@@ -152,7 +160,7 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
         current_epoch = ep
         if ep == cfg.lr_drop_epoch:  # train.py:251-262
             state = set_learning_rate(state, cfg.lr_after_drop)
-            ckpt_lib.save(
+            save_ckpt(
                 os.path.join(opts.ckpt_dir, f"svs_{opts.label}_400.ckpt"),
                 state, epoch=ep + 1)
             print(f"\n[Info] Epoch {ep}: learning rate set to "
@@ -199,9 +207,9 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
                   f"Val Loss: {avg_val_loss:.4e}")
             if avg_val_loss < best_val_loss:
                 best_val_loss = avg_val_loss
-                ckpt_lib.save(best_weight, state, epoch=ep + 1,
-                              extras={"best_val_loss": best_val_loss,
-                                      "loss_list_total": loss_history})
+                save_ckpt(best_weight, state, epoch=ep + 1,
+                          extras={"best_val_loss": best_val_loss,
+                                  "loss_list_total": loss_history})
                 if opts.export_pth:
                     ckpt_lib.export_pth(best_weight[:-5] + ".pth", state,
                                         epoch=ep + 1)
@@ -210,9 +218,9 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
             print(f"Epoch {ep+1} Avg Loss: {avg_train_loss:.4e}")
 
         if (ep + 1) % opts.save_every == 0 or ep + 1 == opts.epoch:
-            ckpt_lib.save(ckpt_weight, state, epoch=ep + 1,  # latest
-                          extras={"loss_list_total": loss_history,
-                                  "best_val_loss": best_val_loss})
+            save_ckpt(ckpt_weight, state, epoch=ep + 1,  # latest
+                      extras={"loss_list_total": loss_history,
+                              "best_val_loss": best_val_loss})
             if opts.export_pth:
                 ckpt_lib.export_pth(ckpt_weight[:-5] + ".pth", state,
                                     epoch=ep + 1)
@@ -220,6 +228,8 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
             # epoch complete (incl. its saves): record epoch=ep+1 and exit
             _preempt_exit(ep + 1)
 
+    if saver:
+        saver.close()  # drain pending checkpoint writes
     _flush_log()
     print("Finish training!")
     return state

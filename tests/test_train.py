@@ -192,3 +192,29 @@ def test_export_pth_loads_strict_in_torch(tmp_path):
     ckpt = torch.load(path, map_location="cpu", weights_only=True)
     # strict load raises on any missing/unexpected key
     m.load_state_dict(ckpt["model_state_dict"], strict=True)
+
+
+def test_fit_async_save_equivalent(tmp_path):
+    """async_save=True produces a checkpoint identical in content to the
+    synchronous path and resumable."""
+    train_dir = str(tmp_path / "train")
+    _make_spec_dataset(train_dir)
+    cfg = SVSConfig(samples_per_song=1)
+    common = dict(train_folder=train_dir, valid_folder="nope",
+                  epoch=2, batch_size=2,
+                  log_dir=str(tmp_path / "LOG"),
+                  load_path=str(tmp_path / "none.ckpt"), progress=False)
+    fit(TrainOptions(label="sync", ckpt_dir=str(tmp_path / "C1"), **common),
+        cfg)
+    fit(TrainOptions(label="asyn", ckpt_dir=str(tmp_path / "C2"),
+                     async_save=True, **common), cfg)
+
+    tpl = create_train_state(jax.random.key(0), cfg)
+    s1, e1, x1 = ckpt_lib.load(os.path.join(str(tmp_path / "C1"),
+                                            "svs_sync.ckpt"), tpl)
+    s2, e2, x2 = ckpt_lib.load(os.path.join(str(tmp_path / "C2"),
+                                            "svs_asyn.ckpt"), tpl)
+    assert e1 == e2 == 2
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(x1["loss_list_total"], x2["loss_list_total"])
