@@ -37,8 +37,15 @@ def _enable_persistent_compilation_cache() -> None:
 
         # TPU-only: remote TPU compiles cost 20s-10min each, CPU compiles
         # cost seconds — and reloading CPU AOT blobs emits feature-mismatch
-        # warnings (and could in principle SIGILL across machine types)
-        if jax.default_backend() == "cpu":
+        # warnings (and could in principle SIGILL across machine types).
+        # Decide from the CONFIGURED platform string, never from
+        # jax.default_backend(): that would initialize the backend at import
+        # time, locking the platform before callers can config-update it
+        # (the only override that works on rigs where sitecustomize already
+        # imported jax).
+        platforms = (jax.config.jax_platforms
+                     or os.environ.get("JAX_PLATFORMS", ""))
+        if not platforms or "cpu" in platforms.lower():
             return
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)

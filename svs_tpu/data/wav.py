@@ -53,6 +53,9 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
         "<HHIIHH", fmt[:16]
     )
     if audio_format == _WAVE_FORMAT_EXTENSIBLE:
+        if len(fmt) < 26:
+            raise ValueError(
+                f"{path}: truncated extensible fmt chunk ({len(fmt)} bytes)")
         # subformat GUID's first 2 bytes carry the real format tag
         (audio_format,) = struct.unpack("<H", fmt[24:26])
 

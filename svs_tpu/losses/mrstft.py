@@ -57,23 +57,17 @@ def _spectral_mag_fft(x: jax.Array, n_fft: int, hop: int, win: int
 
 @functools.lru_cache(maxsize=16)
 def _dft_filters(n_fft: int, win: int):
-    """(n_fft, 2*(n_fft//2+1)) cos|sin DFT bank with the centred hann window
-    folded in — the STFT as a strided convolution."""
+    """(n_fft, 2*(n_fft//2+1)) cos|sin windowed-DFT bank (shared construction
+    in ops.stft.centered_hann_dft).
+
+    Caches the NUMPY array: a jnp array built during a trace would cache a
+    tracer and leak it into later traces (UnexpectedTracerError); numpy
+    constants are staged fresh per trace.  Note the sin half carries rfft's
+    negative sign — magnitudes are sign-invariant."""
     import numpy as np
 
-    n_bins = n_fft // 2 + 1
-    t = np.arange(n_fft)[:, None]
-    f = np.arange(n_bins)[None, :]
-    ang = 2.0 * np.pi * t * f / n_fft
-    w = np.zeros((n_fft, 1), np.float32)
-    left = (n_fft - win) // 2
-    w[left:left + win, 0] = 0.5 - 0.5 * np.cos(
-        2.0 * np.pi * np.arange(win) / win)
-    filt = np.concatenate([np.cos(ang) * w, np.sin(ang) * w], axis=1)
-    # cache the NUMPY array: a jnp array built during a trace would cache a
-    # tracer and leak it into later traces (UnexpectedTracerError); numpy
-    # constants are staged fresh per trace
-    return filt.astype(np.float32)
+    cos, sin = dsp.centered_hann_dft(n_fft, win)
+    return np.concatenate([cos, sin], axis=1)
 
 
 def _spectral_mag_matmul(x: jax.Array, n_fft: int, hop: int, win: int,

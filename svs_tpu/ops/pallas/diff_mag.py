@@ -40,23 +40,23 @@ _INTERPRET = False  # set True in tests on CPU
 
 @functools.lru_cache(maxsize=16)
 def _bases(n_fft: int, hop: int, win: int, k: int, nbp: int):
-    """(k, hop, nbp) cos/sin DFT bases with the CENTRED hann window folded in
-    (torch.stft semantics for win < n_fft); rows past n_fft are zero.
+    """(k, hop, nbp) cos/sin DFT bases (shared construction in
+    ops.stft.centered_hann_dft), hop-chunked, bin-padded to nbp, and
+    pre-cast to bfloat16 — shipping bf16 to VMEM halves the kernel's
+    dominant footprint and is bit-identical to casting in-kernel.
     Cached as numpy (a traced constant would leak across jit traces)."""
+    from svs_tpu.ops.stft import centered_hann_dft
+    import ml_dtypes
+
     n_bins = n_fft // 2 + 1
-    t = np.arange(n_fft)[:, None]
-    f = np.arange(n_bins)[None, :]
-    ang = 2.0 * np.pi * t * f / n_fft
-    w = np.zeros((n_fft, 1), np.float32)
-    left = (n_fft - win) // 2
-    w[left:left + win, 0] = 0.5 - 0.5 * np.cos(
-        2.0 * np.pi * np.arange(win) / win)
+    c, s = centered_hann_dft(n_fft, win)
     cos = np.zeros((k * hop, nbp), np.float32)
     sin = np.zeros((k * hop, nbp), np.float32)
-    cos[:n_fft, :n_bins] = np.cos(ang) * w
-    sin[:n_fft, :n_bins] = -np.sin(ang) * w
-    return (cos.reshape(k, hop, nbp).astype(np.float32),
-            sin.reshape(k, hop, nbp).astype(np.float32))
+    cos[:n_fft, :n_bins] = c
+    sin[:n_fft, :n_bins] = s
+    bf16 = ml_dtypes.bfloat16
+    return (cos.reshape(k, hop, nbp).astype(bf16),
+            sin.reshape(k, hop, nbp).astype(bf16))
 
 
 def _geometry(t: int, n_fft: int, hop: int):
@@ -89,10 +89,8 @@ def _fwd_kernel(*refs, k):
     im = jnp.zeros(out_ref.shape[1:], jnp.float32)
     for j in range(k):
         zj = z_refs[j][0].astype(jnp.bfloat16)
-        re += jnp.dot(zj, cos_ref[j].astype(jnp.bfloat16),
-                      preferred_element_type=jnp.float32)
-        im += jnp.dot(zj, sin_ref[j].astype(jnp.bfloat16),
-                      preferred_element_type=jnp.float32)
+        re += jnp.dot(zj, cos_ref[j], preferred_element_type=jnp.float32)
+        im += jnp.dot(zj, sin_ref[j], preferred_element_type=jnp.float32)
     out_ref[0] = jnp.sqrt(jnp.clip(re * re + im * im, _EPS, None))
 
 
@@ -102,14 +100,10 @@ def _bwd_kernel(*refs, k):
     plane_refs = refs[k + 3:]
     re = jnp.zeros(g_ref.shape[1:], jnp.float32)
     im = jnp.zeros(g_ref.shape[1:], jnp.float32)
-    zs = []
     for j in range(k):
         zj = z_refs[j][0].astype(jnp.bfloat16)
-        zs.append(zj)
-        re += jnp.dot(zj, cos_ref[j].astype(jnp.bfloat16),
-                      preferred_element_type=jnp.float32)
-        im += jnp.dot(zj, sin_ref[j].astype(jnp.bfloat16),
-                      preferred_element_type=jnp.float32)
+        re += jnp.dot(zj, cos_ref[j], preferred_element_type=jnp.float32)
+        im += jnp.dot(zj, sin_ref[j], preferred_element_type=jnp.float32)
     power = re * re + im * im
     mag = jnp.sqrt(jnp.clip(power, _EPS, None))
     # d mag / d re = re / mag where the clip is inactive, else 0
@@ -118,10 +112,8 @@ def _bwd_kernel(*refs, k):
     gre = (scale * re).astype(jnp.bfloat16)
     gim = (scale * im).astype(jnp.bfloat16)
     for j in range(k):
-        dz = jnp.dot(gre, cos_ref[j].astype(jnp.bfloat16).T,
-                     preferred_element_type=jnp.float32)
-        dz += jnp.dot(gim, sin_ref[j].astype(jnp.bfloat16).T,
-                      preferred_element_type=jnp.float32)
+        dz = jnp.dot(gre, cos_ref[j].T, preferred_element_type=jnp.float32)
+        dz += jnp.dot(gim, sin_ref[j].T, preferred_element_type=jnp.float32)
         plane_refs[j][0] = dz
 
 

@@ -32,6 +32,25 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def centered_hann_dft(n_fft: int, win: int):
+    """Host-side (numpy) real-DFT bases with a CENTRED periodic hann window
+    folded in (torch.stft semantics for win <= n_fft): returns (cos, sin)
+    each (n_fft, n_fft//2 + 1) float32, with rfft's  e^{-i...}  sign on sin.
+
+    Single source of truth for the windowed-DFT banks used by the matmul
+    loss magnitudes (losses/mrstft) and the Pallas kernels (ops/pallas)."""
+    n_bins = n_fft // 2 + 1
+    t = np.arange(n_fft)[:, None]
+    f = np.arange(n_bins)[None, :]
+    ang = 2.0 * np.pi * t * f / n_fft
+    w = np.zeros((n_fft, 1), np.float32)
+    left = (n_fft - win) // 2
+    w[left:left + win, 0] = 0.5 - 0.5 * np.cos(
+        2.0 * np.pi * np.arange(win) / win)
+    return ((np.cos(ang) * w).astype(np.float32),
+            (-np.sin(ang) * w).astype(np.float32))
+
+
 def hann_window(win_length: int, dtype=jnp.float32) -> jax.Array:
     """Periodic Hann window — matches ``torch.hann_window`` and
     ``scipy.signal.get_window('hann', n, fftbins=True)`` (librosa's default)."""

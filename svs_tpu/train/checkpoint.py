@@ -42,23 +42,32 @@ class AsyncSaver:
 
     def __init__(self):
         import concurrent.futures as _f
+        import copy
 
+        self._copy = copy.deepcopy
         self._pool = _f.ThreadPoolExecutor(max_workers=1)
-        self._last = None
+        self._pending = []
 
     def save(self, path: str, state: TrainState, *, epoch: int = 0,
              extras: Optional[Dict[str, Any]] = None) -> None:
         snapshot = jax.tree.map(jnp.copy, state)  # device-side copy
-        self._last = self._pool.submit(save, path, snapshot, epoch=epoch,
-                                       extras=extras)
+        # deep-copy extras too: callers pass live lists (loss_history) that
+        # keep growing while the worker serialises
+        extras = self._copy(extras) if extras else None
+        self._pending.append(
+            self._pool.submit(save, path, snapshot, epoch=epoch,
+                              extras=extras))
 
     def wait(self) -> None:
-        if self._last is not None:
-            self._last.result()  # re-raises worker errors
+        pending, self._pending = self._pending, []
+        for f in pending:
+            f.result()  # re-raises ANY worker error, not just the last
 
     def close(self) -> None:
-        self.wait()
-        self._pool.shutdown()
+        try:
+            self.wait()
+        finally:
+            self._pool.shutdown()
 
 
 def save(path: str, state: TrainState, *, epoch: int = 0,

@@ -147,89 +147,94 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
     except ValueError:
         pass  # not the main thread (e.g. under a server); skip the hook
 
-    def _preempt_exit(epoch_to_save: int):
-        save_ckpt(ckpt_weight, state, epoch=epoch_to_save,
-                  extras={"loss_list_total": loss_history,
-                          "best_val_loss": best_val_loss})
+    def _preempt_exit(epoch_to_save: int, already_saved: bool = False):
+        if not already_saved:
+            save_ckpt(ckpt_weight, state, epoch=epoch_to_save,
+                      extras={"loss_list_total": loss_history,
+                              "best_val_loss": best_val_loss})
+        # saver drain + log flush happen in the enclosing finally
+        raise SystemExit(143)
+
+    try:
+        for ep in range(start_epoch, opts.epoch):
+            current_epoch = ep
+            if ep == cfg.lr_drop_epoch:  # train.py:251-262
+                state = set_learning_rate(state, cfg.lr_after_drop)
+                save_ckpt(
+                    os.path.join(opts.ckpt_dir, f"svs_{opts.label}_400.ckpt"),
+                    state, epoch=ep + 1)
+                print(f"\n[Info] Epoch {ep}: learning rate set to "
+                      f"{cfg.lr_after_drop}\n")
+
+            t0 = time.time()
+            losses = []
+            batches = train_ds.batches(opts.batch_size, shuffle=True,
+                                       seed=opts.seed * 100003 + ep)
+            if opts.progress:
+                from tqdm import tqdm
+                batches = tqdm(batches, desc=f"Epoch {ep+1}/{opts.epoch} [Train]",
+                               total=train_ds.steps_per_epoch(opts.batch_size),
+                               leave=False)
+            for i, batch in enumerate(batches):
+                rng, sub = jax.random.split(rng)
+                state, aux = train_step(state, put(batch), sub)
+                losses.append(aux["total"])  # device scalar; fetched lazily
+                if stop_requested:
+                    # mid-epoch: save with epoch=ep so resume re-runs this epoch
+                    _preempt_exit(ep)
+
+            losses = [float(x) for x in losses]
+            avg_train_loss = float(np.mean(losses)) if losses else float("nan")
+            log_buffer.append(f"{avg_train_loss}\n")
+            loss_history.append(avg_train_loss)
+            epoch_secs = time.time() - t0
+
+            with open(metrics_file, "a") as f:
+                f.write(json.dumps({
+                    "epoch": ep + 1, "train_loss": avg_train_loss,
+                    "lr": get_learning_rate(state),
+                    "steps": len(losses), "secs": round(epoch_secs, 3),
+                }) + "\n")
+
+            if valid_ds is not None and (ep + 1) % opts.val_interval == 0:
+                val_losses = []
+                for batch in valid_ds.batches(opts.batch_size, shuffle=False):
+                    aux = eval_step(state, put(batch))
+                    val_losses.append(float(aux["total"]))
+                avg_val_loss = float(np.mean(val_losses))
+                log_buffer.append(f"Val {avg_val_loss}\n")
+                print(f"\n[Epoch {ep+1}] Train Loss: {avg_train_loss:.4e} | "
+                      f"Val Loss: {avg_val_loss:.4e}")
+                if avg_val_loss < best_val_loss:
+                    best_val_loss = avg_val_loss
+                    save_ckpt(best_weight, state, epoch=ep + 1,
+                              extras={"best_val_loss": best_val_loss,
+                                      "loss_list_total": loss_history})
+                    if opts.export_pth:
+                        ckpt_lib.export_pth(best_weight[:-5] + ".pth", state,
+                                            epoch=ep + 1)
+                _flush_log()
+            else:
+                print(f"Epoch {ep+1} Avg Loss: {avg_train_loss:.4e}")
+
+            saved_latest = (ep + 1) % opts.save_every == 0 or ep + 1 == opts.epoch
+            if saved_latest:
+                save_ckpt(ckpt_weight, state, epoch=ep + 1,  # latest
+                          extras={"loss_list_total": loss_history,
+                                  "best_val_loss": best_val_loss})
+                if opts.export_pth:
+                    ckpt_lib.export_pth(ckpt_weight[:-5] + ".pth", state,
+                                        epoch=ep + 1)
+            if stop_requested:
+                # epoch complete: exit without re-writing an identical latest ckpt
+                _preempt_exit(ep + 1, already_saved=saved_latest)
+
+        print("Finish training!")
+        return state
+    finally:
+        # drain pending async checkpoint writes + flush the text
+        # log on EVERY exit path (normal, preemption, loader or
+        # step errors) so no buffered state is lost
         if saver:
             saver.close()
         _flush_log()
-        raise SystemExit(143)
-
-    for ep in range(start_epoch, opts.epoch):
-        current_epoch = ep
-        if ep == cfg.lr_drop_epoch:  # train.py:251-262
-            state = set_learning_rate(state, cfg.lr_after_drop)
-            save_ckpt(
-                os.path.join(opts.ckpt_dir, f"svs_{opts.label}_400.ckpt"),
-                state, epoch=ep + 1)
-            print(f"\n[Info] Epoch {ep}: learning rate set to "
-                  f"{cfg.lr_after_drop}\n")
-
-        t0 = time.time()
-        losses = []
-        batches = train_ds.batches(opts.batch_size, shuffle=True,
-                                   seed=opts.seed * 100003 + ep)
-        if opts.progress:
-            from tqdm import tqdm
-            batches = tqdm(batches, desc=f"Epoch {ep+1}/{opts.epoch} [Train]",
-                           total=train_ds.steps_per_epoch(opts.batch_size),
-                           leave=False)
-        for i, batch in enumerate(batches):
-            rng, sub = jax.random.split(rng)
-            state, aux = train_step(state, put(batch), sub)
-            losses.append(aux["total"])  # device scalar; fetched lazily
-            if stop_requested:
-                # mid-epoch: save with epoch=ep so resume re-runs this epoch
-                _preempt_exit(ep)
-
-        losses = [float(x) for x in losses]
-        avg_train_loss = float(np.mean(losses)) if losses else float("nan")
-        log_buffer.append(f"{avg_train_loss}\n")
-        loss_history.append(avg_train_loss)
-        epoch_secs = time.time() - t0
-
-        with open(metrics_file, "a") as f:
-            f.write(json.dumps({
-                "epoch": ep + 1, "train_loss": avg_train_loss,
-                "lr": get_learning_rate(state),
-                "steps": len(losses), "secs": round(epoch_secs, 3),
-            }) + "\n")
-
-        if valid_ds is not None and (ep + 1) % opts.val_interval == 0:
-            val_losses = []
-            for batch in valid_ds.batches(opts.batch_size, shuffle=False):
-                aux = eval_step(state, put(batch))
-                val_losses.append(float(aux["total"]))
-            avg_val_loss = float(np.mean(val_losses))
-            log_buffer.append(f"Val {avg_val_loss}\n")
-            print(f"\n[Epoch {ep+1}] Train Loss: {avg_train_loss:.4e} | "
-                  f"Val Loss: {avg_val_loss:.4e}")
-            if avg_val_loss < best_val_loss:
-                best_val_loss = avg_val_loss
-                save_ckpt(best_weight, state, epoch=ep + 1,
-                          extras={"best_val_loss": best_val_loss,
-                                  "loss_list_total": loss_history})
-                if opts.export_pth:
-                    ckpt_lib.export_pth(best_weight[:-5] + ".pth", state,
-                                        epoch=ep + 1)
-            _flush_log()
-        else:
-            print(f"Epoch {ep+1} Avg Loss: {avg_train_loss:.4e}")
-
-        if (ep + 1) % opts.save_every == 0 or ep + 1 == opts.epoch:
-            save_ckpt(ckpt_weight, state, epoch=ep + 1,  # latest
-                      extras={"loss_list_total": loss_history,
-                              "best_val_loss": best_val_loss})
-            if opts.export_pth:
-                ckpt_lib.export_pth(ckpt_weight[:-5] + ".pth", state,
-                                    epoch=ep + 1)
-        if stop_requested:
-            # epoch complete (incl. its saves): record epoch=ep+1 and exit
-            _preempt_exit(ep + 1)
-
-    if saver:
-        saver.close()  # drain pending checkpoint writes
-    _flush_log()
-    print("Finish training!")
-    return state
