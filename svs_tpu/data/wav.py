@@ -28,6 +28,13 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
     """
     with open(path, "rb") as f:
         data = f.read()
+    return parse_wav(data, name=path)
+
+
+def parse_wav(data: bytes, name: str = "<bytes>") -> Tuple[np.ndarray, int]:
+    """In-memory RIFF/WAVE parse (same contract as :func:`read_wav`); the
+    serving path decodes request bodies directly, no temp-file round-trip."""
+    path = name
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError(f"{path}: not a RIFF/WAVE file")
 
@@ -88,10 +95,11 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
     return np.ascontiguousarray(y), sample_rate
 
 
-def write_wav(path: str, y: np.ndarray, sample_rate: int,
-              subtype: str = "PCM_16") -> None:
-    """Write mono/(C,T) float audio; subtype 'PCM_16' (soundfile's default,
-    matching reference data.py:166) or 'FLOAT'."""
+def encode_wav(y: np.ndarray, sample_rate: int,
+               subtype: str = "PCM_16") -> bytes:
+    """Encode mono/(C,T) float audio to in-memory RIFF/WAVE bytes; subtype
+    'PCM_16' (soundfile's default, matching reference data.py:166) or
+    'FLOAT'."""
     y = np.atleast_2d(np.asarray(y, np.float32))  # (C, T)
     n_channels = y.shape[0]
     inter = y.T.reshape(-1)  # interleaved frames
@@ -111,16 +119,19 @@ def write_wav(path: str, y: np.ndarray, sample_rate: int,
 
     block_align = n_channels * bits // 8
     byte_rate = sample_rate * block_align
+    return b"".join([
+        b"RIFF", struct.pack("<I", 36 + len(payload)), b"WAVE",
+        b"fmt ", struct.pack("<IHHIIHH", 16, fmt_tag, n_channels,
+                             sample_rate, byte_rate, block_align, bits),
+        b"data", struct.pack("<I", len(payload)), payload,
+    ])
+
+
+def write_wav(path: str, y: np.ndarray, sample_rate: int,
+              subtype: str = "PCM_16") -> None:
+    """Write mono/(C,T) float audio; see :func:`encode_wav`."""
     with open(path, "wb") as f:
-        f.write(b"RIFF")
-        f.write(struct.pack("<I", 36 + len(payload)))
-        f.write(b"WAVE")
-        f.write(b"fmt ")
-        f.write(struct.pack("<IHHIIHH", 16, fmt_tag, n_channels,
-                            sample_rate, byte_rate, block_align, bits))
-        f.write(b"data")
-        f.write(struct.pack("<I", len(payload)))
-        f.write(payload)
+        f.write(encode_wav(y, sample_rate, subtype))
 
 
 def to_mono(y: np.ndarray) -> np.ndarray:

@@ -13,21 +13,36 @@ experiments actually ran ``nn.L1Loss`` (reference config.py:33,44).  Here:
 
 from __future__ import annotations
 
+import math
+
 import jax.numpy as jnp
 
 
-def l1(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
-    """``nn.L1Loss`` (mean reduction)."""
-    return jnp.mean(jnp.abs(pred - target))
+def l1(pred: jnp.ndarray, target: jnp.ndarray, weight=None) -> jnp.ndarray:
+    """``nn.L1Loss`` (mean reduction).
+
+    ``weight`` is an optional per-example ``(B,)`` vector (0/1 validity mask
+    from the drop-free batch padder, parallel.mesh.shard_batch): the mean then
+    runs over real examples only, so a padded batch reproduces the unpadded
+    loss exactly.
+    """
+    diff = jnp.abs(pred - target)
+    if weight is None:
+        return jnp.mean(diff)
+    w = weight.reshape(weight.shape + (1,) * (diff.ndim - 1))
+    per_example = math.prod(diff.shape[1:])
+    return jnp.sum(w * diff) / (jnp.sum(weight) * per_example)
 
 
-def masked_l1_pair(mask, mix, voc):
+def masked_l1_pair(mask, mix, voc, weight=None):
     """L1(mask*mix, voc) + L1((1-mask)*mix, clamp(mix-voc, 0))
     (reference train.py:274-283). Returns (total, pred_vocal)."""
     pred_vocal = mask * mix
     pred_accomp = (1.0 - mask) * mix
     target_accomp = jnp.clip(mix - voc, 0.0, None)
-    return l1(pred_vocal, voc) + l1(pred_accomp, target_accomp), pred_vocal
+    total = (l1(pred_vocal, voc, weight)
+             + l1(pred_accomp, target_accomp, weight))
+    return total, pred_vocal
 
 
 def weighted_l1(target_vocal, target_mix, mask, reduction: str = "mean"):

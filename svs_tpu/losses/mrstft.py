@@ -125,6 +125,7 @@ def stft_loss(
     w_sc: float = 1.0,
     w_log_mag: float = 1.0,
     impl: str = "matmul_bf16",
+    weight: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Single-resolution STFT loss (auraloss STFTLoss defaults):
     spectral convergence + log-magnitude L1.  x = prediction, y = target.
@@ -133,6 +134,10 @@ def stft_loss(
     train step on v5e, loss agrees with the FFT path to ~1e-3 relative) or
     'fft' (exact auraloss-parity reference path).
 
+    weight: optional per-example (B,) 0/1 validity mask (x, y shaped (B, T));
+    zeroed examples drop out of both the Frobenius norms and the log-mag mean,
+    so a zero-padded batch reproduces the unpadded loss exactly.
+
     Prediction and target run as separate STFTs on purpose: stacking them
     into one call measures 23% SLOWER end-to-end because the zero-cotangent
     target half can't be pruned from the backward FFT of the stacked
@@ -140,8 +145,16 @@ def stft_loss(
     mag = _MAG_IMPLS[impl]
     x_mag = mag(x, n_fft, hop, win)
     y_mag = mag(y, n_fft, hop, win)
-    sc = jnp.linalg.norm(y_mag - x_mag) / jnp.linalg.norm(y_mag)
-    log_mag = jnp.mean(jnp.abs(jnp.log(x_mag) - jnp.log(y_mag)))
+    if weight is None:
+        sc = jnp.linalg.norm(y_mag - x_mag) / jnp.linalg.norm(y_mag)
+        log_mag = jnp.mean(jnp.abs(jnp.log(x_mag) - jnp.log(y_mag)))
+    else:
+        w = weight.reshape(weight.shape + (1,) * (x_mag.ndim - 1))
+        sc = (jnp.linalg.norm(w * (y_mag - x_mag))
+              / jnp.linalg.norm(w * y_mag))
+        per_example = x_mag.shape[-1] * x_mag.shape[-2]
+        log_mag = (jnp.sum(w * jnp.abs(jnp.log(x_mag) - jnp.log(y_mag)))
+                   / (jnp.sum(weight) * per_example))
     return w_sc * sc + w_log_mag * log_mag
 
 
@@ -152,12 +165,14 @@ def mr_stft_loss(
     hop_sizes: Sequence[int] = (120, 240, 50),
     win_lengths: Sequence[int] = (600, 1200, 240),
     impl: str = "matmul_bf16",
+    weight: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Multi-resolution STFT loss on waveforms ``(..., T)``; prediction first,
     target second (reference train.py:293 call order)."""
     total = 0.0
     for n_fft, hop, win in zip(fft_sizes, hop_sizes, win_lengths):
-        total = total + stft_loss(x, y, n_fft, hop, win, impl=impl)
+        total = total + stft_loss(x, y, n_fft, hop, win, impl=impl,
+                                  weight=weight)
     return total / len(fft_sizes)
 
 
@@ -168,6 +183,7 @@ def combined_loss(
     mix_angle: jax.Array,
     voc_angle: jax.Array,
     cfg: Optional[SVSConfig] = None,
+    weight: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, dict]:
     """The reference's full training loss (train.py:274-296):
     alpha_L1 * (masked L1 pair) + alpha_MR * MR-STFT(pred_wav, target_wav).
@@ -175,17 +191,21 @@ def combined_loss(
     pred wav uses predicted magnitude + MIXTURE phase; target wav uses true
     vocal magnitude + vocal phase (train.py:287-290).
     Inputs are (B, 512, T) patches.  Returns (total, aux dict).
+
+    weight: optional (B,) 0/1 validity mask — padded examples (from the
+    drop-free remainder policy, parallel.mesh.shard_batch) are excluded from
+    every reduction, so the loss equals the unpadded batch's exactly.
     """
     from svs_tpu.losses.masked_l1 import masked_l1_pair
 
     cfg = cfg or SVSConfig()
-    l1_total, pred_vocal = masked_l1_pair(mask, mix, voc)
+    l1_total, pred_vocal = masked_l1_pair(mask, mix, voc, weight)
     pred_wav = patch_istft(pred_vocal, mix_angle,
                            n_fft=cfg.window_size, hop_length=cfg.hop_size)
     target_wav = patch_istft(voc, voc_angle,
                              n_fft=cfg.window_size, hop_length=cfg.hop_size)
     mr = mr_stft_loss(pred_wav, target_wav, cfg.mr_fft_sizes,
                       cfg.mr_hop_sizes, cfg.mr_win_lengths,
-                      impl=cfg.mr_mag_impl)
+                      impl=cfg.mr_mag_impl, weight=weight)
     total = cfg.alpha_l1 * l1_total + cfg.alpha_mr * mr
     return total, {"l1": l1_total, "mr": mr, "total": total}

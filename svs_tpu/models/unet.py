@@ -85,15 +85,27 @@ def _batch_norm(
     train: bool,
     eps: float,
     momentum: float,
+    weight: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """torch BatchNorm2d semantics on NHWC: normalise with per-batch biased
-    variance in train mode, update running stats with unbiased variance."""
+    variance in train mode, update running stats with unbiased variance.
+
+    ``weight`` is an optional per-example (B,) 0/1 validity mask: batch
+    statistics are then computed over real examples only, so a zero-padded
+    batch (drop-free remainder policy, parallel.mesh.shard_batch) yields
+    exactly the unpadded batch's statistics."""
     if train:
         axes = (0, 1, 2)
-        batch_mean = jnp.mean(x, axis=axes)
-        batch_var = jnp.var(x, axis=axes)
-        n = x.shape[0] * x.shape[1] * x.shape[2]
-        unbiased = batch_var * (n / max(n - 1, 1))
+        if weight is None:
+            batch_mean = jnp.mean(x, axis=axes)
+            batch_var = jnp.var(x, axis=axes)
+            n = x.shape[0] * x.shape[1] * x.shape[2]
+        else:
+            w = weight[:, None, None, None]
+            n = jnp.sum(weight) * (x.shape[1] * x.shape[2])
+            batch_mean = jnp.sum(w * x, axis=axes) / n
+            batch_var = jnp.sum(w * (x - batch_mean) ** 2, axis=axes) / n
+        unbiased = batch_var * (n / jnp.maximum(n - 1, 1))
         new_mean = (1 - momentum) * mean + momentum * batch_mean
         new_var = (1 - momentum) * var + momentum * unbiased
         use_mean, use_var = batch_mean, batch_var
@@ -179,6 +191,7 @@ def apply(
     train: bool = False,
     dropout_rng: Optional[jax.Array] = None,
     cfg: Optional[SVSConfig] = None,
+    weight: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, State]:
     """Predict the sigmoid soft mask for magnitude patches.
 
@@ -187,6 +200,9 @@ def apply(
            (reference feeds (B, 1, 512, 128) NCHW, model.py:169-175).
       train: BatchNorm batch-stats + dropout when True (torch .train() mode).
       dropout_rng: required when train=True.
+      weight: optional per-example (B,) 0/1 validity mask — padded examples
+           are excluded from BatchNorm batch statistics (train mode only),
+           making padded and unpadded batches exactly equivalent.
 
     Returns (mask (B, F, T) float32, new_state).
     """
@@ -202,6 +218,7 @@ def apply(
         x, m, v = _batch_norm(
             x, p["scale"], p["bias"], s["mean"], s["var"],
             train=train, eps=cfg.bn_eps, momentum=cfg.bn_momentum,
+            weight=weight,
         )
         x = jnp.where(x >= 0, x, cfg.leaky_slope * x)  # LeakyReLU(0.2)
         return x, m, v
@@ -211,6 +228,7 @@ def apply(
         x, m, v = _batch_norm(
             x, p["scale"], p["bias"], s["mean"], s["var"],
             train=train, eps=cfg.bn_eps, momentum=cfg.bn_momentum,
+            weight=weight,
         )
         x = jnp.maximum(x, 0.0)  # ReLU
         if train:

@@ -49,11 +49,12 @@ def make_dp_train_step(
     bsh = mesh_lib.batch_sharded(mesh, axis_name)
 
     def loss_fn(params, bn_state, batch, rng):
+        weight = batch.get("weight")  # 0/1 validity from shard_batch padding
         mask, new_bn = unet.apply(params, bn_state, batch["mix"], train=True,
-                                  dropout_rng=rng, cfg=cfg)
+                                  dropout_rng=rng, cfg=cfg, weight=weight)
         total, aux = combined_loss(mask, batch["mix"], batch["voc"],
                                    batch["mix_angle"], batch["voc_angle"],
-                                   cfg)
+                                   cfg, weight=weight)
         return total, (new_bn, aux)
 
     def _step(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
@@ -65,13 +66,13 @@ def make_dp_train_step(
         aux = dict(aux, grad_norm=optax.global_norm(grads))
         return TrainState(new_params, new_bn, new_opt, state.step + 1), aux
 
-    batch_shardings = {k: bsh for k in ("mix", "voc", "mix_angle",
-                                        "voc_angle")}
     state_shardings = jax.tree.map(lambda _: rep, _abstract_state_spec())
 
+    # `bsh` is a pytree PREFIX for the whole batch dict: every entry — the
+    # four (B, F, T) planes and the optional (B,) weight — shards on dim 0
     return jax.jit(
         _step,
-        in_shardings=(state_shardings, batch_shardings, rep),
+        in_shardings=(state_shardings, bsh, rep),
         out_shardings=(state_shardings, None),
         donate_argnums=(0,),
     )

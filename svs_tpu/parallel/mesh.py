@@ -42,18 +42,26 @@ def batch_sharded(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
 def shard_batch(mesh: Mesh, batch, axis_name: str = "data"):
     """Place a host batch dict onto the mesh, batch-dim sharded.
 
-    Pads the batch up to a multiple of the mesh size by repeating the last
-    item (XLA requires equal shards); training on a duplicated item once at
-    the epoch tail is the standard drop-free remainder policy.
+    Pads the batch up to a multiple of the mesh size with ZERO items (XLA
+    requires equal shards) and attaches a per-example ``"weight"`` 0/1
+    validity vector.  The train/eval steps exclude zero-weight examples from
+    every reduction (loss means, Frobenius norms, BatchNorm batch stats), so
+    a remainder batch produces EXACTLY the loss, gradients and BN statistics
+    of the unpadded batch — drop-free and bias-free.
     """
     n = mesh.devices.size
     sharding = batch_sharded(mesh, axis_name)
 
+    b = next(iter(batch.values())).shape[0]
+    pad = (n - b % n) % n
+    weight = np.ones(b + pad, np.float32)
+    weight[b:] = 0.0
+
     def put(x):
-        b = x.shape[0]
-        if b % n:
-            pad = n - b % n
-            x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
+        if pad:
+            x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
         return jax.device_put(x, sharding)
 
-    return {k: put(np.asarray(v)) for k, v in batch.items()}
+    out = {k: put(np.asarray(v)) for k, v in batch.items()}
+    out["weight"] = jax.device_put(weight, sharding)
+    return out

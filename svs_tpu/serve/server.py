@@ -24,7 +24,6 @@ Endpoints:
 
 from __future__ import annotations
 
-import io
 import json
 import queue
 import threading
@@ -40,30 +39,60 @@ from svs_tpu.utils.config import SVSConfig
 
 
 class SeparationService:
-    """Owns the model and the single device-worker thread."""
+    """Owns the model and the single device-worker thread.
 
-    def __init__(self, params, bn_state, cfg: Optional[SVSConfig] = None):
+    Queued requests are COALESCED: each drain pass pulls everything waiting
+    (up to ``max_batch``), groups it by (vocal_solo, mode), and pushes each
+    group through the pipelined streaming path in one go — request i+1's
+    host->device transfer overlaps request i's compute and copy-back, so a
+    burst of N requests costs ~max(H2D, compute, D2H) each instead of their
+    sum (BASELINE config: multi-song batched streaming)."""
+
+    def __init__(self, params, bn_state, cfg: Optional[SVSConfig] = None,
+                 max_batch: int = 8):
         self.params = params
         self.bn_state = bn_state
         self.cfg = cfg or SVSConfig()
+        self.max_batch = max_batch
         self._q: queue.Queue = queue.Queue()
         self._worker = threading.Thread(target=self._drain, daemon=True)
         self._worker.start()
         self.requests_served = 0
+        self.batches_run = 0
+        self.max_coalesced = 0
 
     def _drain(self):
         while True:
             item = self._q.get()
             if item is None:
                 return
-            y, vocal_solo, mode, done = item
-            try:
-                out = separate.separate_wav(
-                    self.params, self.bn_state, y,
-                    vocal_solo=vocal_solo, cfg=self.cfg, mode=mode)
-                done.put(("ok", out))
-            except Exception as e:  # propagate to the request thread
-                done.put(("error", str(e)))
+            items = [item]
+            while len(items) < self.max_batch:
+                try:
+                    nxt = self._q.get_nowait()
+                except queue.Empty:
+                    break
+                if nxt is None:  # keep the shutdown signal
+                    self._q.put(None)
+                    break
+                items.append(nxt)
+
+            # group by device-call signature, preserving arrival order
+            groups: dict = {}
+            for it in items:
+                groups.setdefault((it[1], it[2]), []).append(it)
+            for (vocal_solo, mode), grp in groups.items():
+                try:
+                    outs = separate.separate_wav_stream(
+                        self.params, self.bn_state, [it[0] for it in grp],
+                        vocal_solo=vocal_solo, cfg=self.cfg, mode=mode)
+                    for it, out in zip(grp, outs):
+                        it[3].put(("ok", out))
+                except Exception as e:  # propagate to the request threads
+                    for it in grp:
+                        it[3].put(("error", str(e)))
+            self.batches_run += 1
+            self.max_coalesced = max(self.max_coalesced, len(items))
 
     def separate(self, y: np.ndarray, vocal_solo: bool = True,
                  mode: str = "segments") -> np.ndarray:
@@ -79,7 +108,14 @@ class SeparationService:
         self._q.put(None)
 
 
-def make_handler(service: SeparationService):
+# request bodies above this are rejected with 413 (a 10-minute stereo
+# float32 WAV at 44.1 kHz is ~211 MB; the cap is a DoS guard, not a format
+# limit — raise via serve(max_body_bytes=...))
+DEFAULT_MAX_BODY = 256 << 20
+
+
+def make_handler(service: SeparationService,
+                 max_body_bytes: int = DEFAULT_MAX_BODY):
     cfg = service.cfg
 
     class Handler(BaseHTTPRequestHandler):
@@ -98,8 +134,9 @@ def make_handler(service: SeparationService):
             if urlparse(self.path).path == "/healthz":
                 self._json(200, {"status": "ok",
                                  "sample_rate": cfg.sample_rate,
-                                 "requests_served":
-                                     service.requests_served})
+                                 "requests_served": service.requests_served,
+                                 "batches_run": service.batches_run,
+                                 "max_coalesced": service.max_coalesced})
             else:
                 self._json(404, {"error": "unknown path"})
 
@@ -112,20 +149,30 @@ def make_handler(service: SeparationService):
             mode = q.get("mode", ["segments"])[0]
             if mode not in ("segments", "whole", "overlap"):
                 return self._json(400, {"error": f"unknown mode {mode!r}"})
+            cl = self.headers.get("Content-Length")
+            if cl is None:
+                return self._json(411, {"error": "Content-Length required"})
             try:
-                n = int(self.headers.get("Content-Length", 0))
+                n = int(cl)
+            except ValueError:
+                return self._json(400, {"error": "bad Content-Length"})
+            if n <= 0:
+                return self._json(400, {"error": "empty body"})
+            if n > max_body_bytes:
+                return self._json(
+                    413, {"error": f"body of {n} bytes exceeds the "
+                                   f"{max_body_bytes}-byte limit"})
+            try:
                 raw = self.rfile.read(n)
-                tmp = io.BytesIO(raw)
-                y, sr = _read_wav_bytes(tmp)
+                y, sr = wavio.parse_wav(raw, name="<request body>")
+                y = wavio.to_mono(y)
                 if sr != cfg.sample_rate:
                     y = wavio.resample(y, sr, cfg.sample_rate)
                 out = service.separate(y.astype(np.float32), vocal_solo,
                                        mode)
                 if sr != cfg.sample_rate:
                     out = wavio.resample(out, cfg.sample_rate, sr)
-                buf = io.BytesIO()
-                _write_wav_bytes(buf, out, sr)
-                body = buf.getvalue()
+                body = wavio.encode_wav(out, sr)
                 self.send_response(200)
                 self.send_header("Content-Type", "audio/wav")
                 self.send_header("Content-Length", str(len(body)))
@@ -137,26 +184,12 @@ def make_handler(service: SeparationService):
     return Handler
 
 
-def _read_wav_bytes(buf: io.BytesIO):
-    import tempfile
-    with tempfile.NamedTemporaryFile(suffix=".wav") as f:
-        f.write(buf.getvalue())
-        f.flush()
-        return wavio.load_audio(f.name, mono=True)
-
-
-def _write_wav_bytes(buf: io.BytesIO, y: np.ndarray, sr: int):
-    import tempfile
-    with tempfile.NamedTemporaryFile(suffix=".wav") as f:
-        wavio.write_wav(f.name, y, sr)
-        with open(f.name, "rb") as g:
-            buf.write(g.read())
-
-
 def serve(params, bn_state, cfg: Optional[SVSConfig] = None,
-          host: str = "127.0.0.1", port: int = 8571):
+          host: str = "127.0.0.1", port: int = 8571,
+          max_body_bytes: int = DEFAULT_MAX_BODY, max_batch: int = 8):
     """Blocking entry: start the service (returns the server for tests)."""
-    service = SeparationService(params, bn_state, cfg)
-    httpd = ThreadingHTTPServer((host, port), make_handler(service))
+    service = SeparationService(params, bn_state, cfg, max_batch=max_batch)
+    httpd = ThreadingHTTPServer((host, port),
+                                make_handler(service, max_body_bytes))
     httpd.service = service  # type: ignore[attr-defined]
     return httpd

@@ -113,6 +113,7 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
     best_val_loss = float(extras.get("best_val_loss", 100.0))
     saver = ckpt_lib.AsyncSaver() if opts.async_save else None
     save_ckpt = saver.save if saver else ckpt_lib.save
+    export_ckpt = saver.export_pth if saver else ckpt_lib.export_pth
     log_buffer: List[str] = []
     # per-epoch loss history, persisted in checkpoints like the reference's
     # loss_list_total (model.py:112-114, train.py:377-379)
@@ -211,8 +212,8 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
                               extras={"best_val_loss": best_val_loss,
                                       "loss_list_total": loss_history})
                     if opts.export_pth:
-                        ckpt_lib.export_pth(best_weight[:-5] + ".pth", state,
-                                            epoch=ep + 1)
+                        export_ckpt(best_weight[:-5] + ".pth", state,
+                                    epoch=ep + 1)
                 _flush_log()
             else:
                 print(f"Epoch {ep+1} Avg Loss: {avg_train_loss:.4e}")
@@ -223,8 +224,8 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
                           extras={"loss_list_total": loss_history,
                                   "best_val_loss": best_val_loss})
                 if opts.export_pth:
-                    ckpt_lib.export_pth(ckpt_weight[:-5] + ".pth", state,
-                                        epoch=ep + 1)
+                    export_ckpt(ckpt_weight[:-5] + ".pth", state,
+                                epoch=ep + 1)
             if stop_requested:
                 # epoch complete: exit without re-writing an identical latest ckpt
                 _preempt_exit(ep + 1, already_saved=saved_latest)

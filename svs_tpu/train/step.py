@@ -77,13 +77,14 @@ def make_train_step(cfg: Optional[SVSConfig] = None,
     optimizer = optimizer or make_optimizer(cfg)
 
     def loss_fn(params, bn_state, batch, rng):
+        weight = batch.get("weight")  # optional 0/1 validity (padded batches)
         mask, new_bn = unet.apply(
             params, bn_state, batch["mix"], train=True, dropout_rng=rng,
-            cfg=cfg,
+            cfg=cfg, weight=weight,
         )
         total, aux = combined_loss(
             mask, batch["mix"], batch["voc"],
-            batch["mix_angle"], batch["voc_angle"], cfg,
+            batch["mix_angle"], batch["voc_angle"], cfg, weight=weight,
         )
         return total, (new_bn, aux)
 
@@ -118,6 +119,7 @@ def make_eval_step(cfg: Optional[SVSConfig] = None):
         _, aux = combined_loss(
             mask, batch["mix"], batch["voc"],
             batch["mix_angle"], batch["voc_angle"], cfg,
+            weight=batch.get("weight"),
         )
         return aux
 

@@ -17,15 +17,19 @@ from svs_tpu.utils.config import SVSConfig
 
 
 @pytest.fixture(scope="module")
-def server_url():
+def server_httpd():
     params, bn_state = unet.init(jax.random.key(0))
     httpd = serve(params, bn_state, SVSConfig(), host="127.0.0.1", port=0)
-    port = httpd.server_address[1]
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
-    yield f"http://127.0.0.1:{port}"
+    yield httpd
     httpd.shutdown()
     httpd.service.shutdown()
+
+
+@pytest.fixture(scope="module")
+def server_url(server_httpd):
+    return f"http://127.0.0.1:{server_httpd.server_address[1]}"
 
 
 def _wav_bytes(y, sr):
@@ -133,3 +137,63 @@ def test_separate_bad_mode_400(server_url, rng):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req)
     assert e.value.code == 400
+
+
+def test_missing_content_length_411(server_url):
+    req = urllib.request.Request(server_url + "/separate", method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req)
+    assert e.value.code in (411, 400)  # urllib may send CL:0 -> 400
+
+
+def test_oversize_body_413(rng):
+    """A dedicated server with a tiny cap rejects big bodies BEFORE reading
+    them into memory."""
+    params, bn_state = unet.init(jax.random.key(0))
+    httpd = serve(params, bn_state, SVSConfig(), host="127.0.0.1", port=0,
+                  max_body_bytes=500)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{httpd.server_address[1]}"
+        y = (rng.standard_normal(8192) * 0.1).astype(np.float32)
+        req = urllib.request.Request(url + "/separate",
+                                     data=_wav_bytes(y, 8192), method="POST")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req)
+        assert e.value.code == 413
+    finally:
+        httpd.shutdown()
+        httpd.service.shutdown()
+
+
+def test_burst_coalesced_matches_serial(server_httpd, rng):
+    """Concurrent requests are coalesced into pipelined device batches and
+    return bit-identical audio to serial requests."""
+    service = server_httpd.service
+    songs = [(rng.standard_normal(8192 * 2) * 0.1).astype(np.float32)
+             for _ in range(6)]
+    serial = [service.separate(y) for y in songs]
+
+    results = [None] * len(songs)
+    errors = []
+
+    def worker(i):
+        try:
+            results[i] = service.separate(songs[i])
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    # occupy the device worker with song 0, then flood the queue so the
+    # remaining requests are waiting together when the worker next drains
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(len(songs))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors
+    for got, want in zip(results, serial):
+        np.testing.assert_array_equal(got, want)
+    # the burst must actually have been coalesced (>1 request per drain)
+    assert service.max_coalesced > 1

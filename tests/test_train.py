@@ -195,13 +195,16 @@ def test_export_pth_loads_strict_in_torch(tmp_path):
 
 
 def test_fit_async_save_equivalent(tmp_path):
-    """async_save=True produces a checkpoint identical in content to the
-    synchronous path and resumable."""
+    """async_save=True produces a checkpoint (and exported .pth — the export
+    also runs on the saver worker, no main-thread D2H) identical in content
+    to the synchronous path and resumable."""
+    import torch
+
     train_dir = str(tmp_path / "train")
     _make_spec_dataset(train_dir)
     cfg = SVSConfig(samples_per_song=1)
     common = dict(train_folder=train_dir, valid_folder="nope",
-                  epoch=2, batch_size=2,
+                  epoch=2, batch_size=2, export_pth=True,
                   log_dir=str(tmp_path / "LOG"),
                   load_path=str(tmp_path / "none.ckpt"), progress=False)
     fit(TrainOptions(label="sync", ckpt_dir=str(tmp_path / "C1"), **common),
@@ -218,3 +221,13 @@ def test_fit_async_save_equivalent(tmp_path):
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     np.testing.assert_allclose(x1["loss_list_total"], x2["loss_list_total"])
+
+    p1 = torch.load(os.path.join(str(tmp_path / "C1"), "svs_sync.pth"),
+                    map_location="cpu", weights_only=True)
+    p2 = torch.load(os.path.join(str(tmp_path / "C2"), "svs_asyn.pth"),
+                    map_location="cpu", weights_only=True)
+    assert p1["epoch"] == p2["epoch"] == 2
+    assert p1["model_state_dict"].keys() == p2["model_state_dict"].keys()
+    for k, v in p1["model_state_dict"].items():
+        np.testing.assert_array_equal(v.numpy(),
+                                      p2["model_state_dict"][k].numpy())
