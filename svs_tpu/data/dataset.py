@@ -164,18 +164,38 @@ class PatchDataset:
         seed: Optional[int] = None,
         drop_last: bool = False,
         prefetch: int = 2,
+        n_steps: Optional[int] = None,
     ) -> Iterator[Dict[str, np.ndarray]]:
         """Yield dict batches of stacked (B, 512, input_len) arrays with
-        background prefetch."""
+        background prefetch.
+
+        ``n_steps``: yield EXACTLY this many full batches, wrapping around
+        the (re-shuffled) index order as needed.  Multi-host training uses
+        this to keep every host's step count in lockstep regardless of how
+        the songs split across hosts (collective programs must be entered
+        the same number of times everywhere); the sampler is a random patch
+        cropper anyway, so wraparound only re-crops songs.
+        """
         rng = np.random.default_rng(seed)
-        order = np.arange(len(self))
-        if shuffle:
-            rng.shuffle(order)
-        n = len(order)
-        ends = range(batch_size, n + 1, batch_size) if drop_last else range(
-            batch_size, n + batch_size, batch_size
-        )
-        spans = [(e - batch_size, min(e, n)) for e in ends if e - batch_size < n]
+        n = len(self)
+        if n_steps is not None:
+            need = n_steps * batch_size
+            reps = -(-need // n)
+            if shuffle:
+                order = np.concatenate(
+                    [rng.permutation(n) for _ in range(reps)])[:need]
+            else:
+                order = np.tile(np.arange(n), reps)[:need]
+            spans = [(i * batch_size, (i + 1) * batch_size)
+                     for i in range(n_steps)]
+        else:
+            order = np.arange(n)
+            if shuffle:
+                rng.shuffle(order)
+            ends = range(batch_size, n + 1, batch_size) if drop_last else \
+                range(batch_size, n + batch_size, batch_size)
+            spans = [(e - batch_size, min(e, n)) for e in ends
+                     if e - batch_size < n]
 
         def produce(q: queue.Queue):
             try:

@@ -83,7 +83,36 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
                                     input_len=cfg.input_len)
         except FileNotFoundError:
             valid_ds = None
-    if valid_ds is None:
+    # multi-host (DCN) input pipeline (SURVEY.md §2.3): each host reads only
+    # its shard of songs; per-host local batches are assembled into one
+    # globally-sharded batch.  Step counts are fixed from the GLOBAL song
+    # count so every host enters the collective train/eval programs in
+    # lockstep regardless of how the songs split.
+    pc = jax.process_count()
+    is_primary = jax.process_index() == 0
+    local_bs = opts.batch_size
+    train_steps = val_steps = None
+    if pc > 1:
+        if opts.mesh is None:
+            raise ValueError("multi-process training requires "
+                             "TrainOptions.mesh (a global device mesh)")
+        from svs_tpu.parallel import multihost
+
+        def _shard_songs(ds):
+            full = ds.file_names
+            shard = multihost.process_shard(full)
+            # more hosts than songs: wrap around so no host is starved
+            # (the sampler re-crops songs anyway)
+            ds.file_names = shard or [full[jax.process_index() % len(full)]]
+
+        local_bs = -(-opts.batch_size // pc)  # per-host quota
+        train_steps = -(-len(train_ds) // (local_bs * pc))
+        _shard_songs(train_ds)
+        if valid_ds is not None:
+            val_steps = -(-len(valid_ds) // (local_bs * pc))
+            _shard_songs(valid_ds)
+
+    if valid_ds is None and is_primary:
         print(f"Warning: no validation folder {opts.valid_folder}; skipping "
               "validation.")
 
@@ -100,11 +129,15 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
 
     put = opts.device_put or (lambda b: b)
     if opts.mesh is not None:
-        from svs_tpu.parallel import dp, mesh as mesh_lib
+        from svs_tpu.parallel import dp, mesh as mesh_lib, multihost
         train_step = dp.make_dp_train_step(opts.mesh, cfg, optimizer)
         state = dp.replicate_state(state, opts.mesh)
         if opts.device_put is None:
-            put = lambda b: mesh_lib.shard_batch(opts.mesh, b)  # noqa: E731
+            if pc > 1:
+                put = lambda b: multihost.global_batch_from_local(  # noqa: E731
+                    opts.mesh, b)
+            else:
+                put = lambda b: mesh_lib.shard_batch(opts.mesh, b)  # noqa: E731
     else:
         train_step = make_train_step(cfg, optimizer)
 
@@ -123,10 +156,10 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
 
     def _flush_log():
         nonlocal log_buffer
-        if log_buffer:
+        if log_buffer and is_primary:  # one writer per multi-host job
             with open(log_file, "a") as f:
                 f.writelines(log_buffer)
-            log_buffer = []
+        log_buffer = []
 
     # graceful preemption (SURVEY.md §5 failure recovery): SIGTERM sets a
     # flag only; the loop saves at its next safe point and exits 143, so
@@ -149,7 +182,7 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
         pass  # not the main thread (e.g. under a server); skip the hook
 
     def _preempt_exit(epoch_to_save: int, already_saved: bool = False):
-        if not already_saved:
+        if not already_saved and is_primary:
             save_ckpt(ckpt_weight, state, epoch=epoch_to_save,
                       extras={"loss_list_total": loss_history,
                               "best_val_loss": best_val_loss})
@@ -161,20 +194,27 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
             current_epoch = ep
             if ep == cfg.lr_drop_epoch:  # train.py:251-262
                 state = set_learning_rate(state, cfg.lr_after_drop)
-                save_ckpt(
-                    os.path.join(opts.ckpt_dir, f"svs_{opts.label}_400.ckpt"),
-                    state, epoch=ep + 1)
-                print(f"\n[Info] Epoch {ep}: learning rate set to "
-                      f"{cfg.lr_after_drop}\n")
+                if is_primary:
+                    save_ckpt(
+                        os.path.join(opts.ckpt_dir,
+                                     f"svs_{opts.label}_400.ckpt"),
+                        state, epoch=ep + 1)
+                    print(f"\n[Info] Epoch {ep}: learning rate set to "
+                          f"{cfg.lr_after_drop}\n")
 
             t0 = time.time()
             losses = []
-            batches = train_ds.batches(opts.batch_size, shuffle=True,
-                                       seed=opts.seed * 100003 + ep)
-            if opts.progress:
+            # per-host seed: hosts shard the songs, so identical seeds would
+            # only correlate crop offsets; still mixed in for independence
+            batches = train_ds.batches(
+                local_bs, shuffle=True,
+                seed=opts.seed * 100003 + ep + jax.process_index() * 7919,
+                n_steps=train_steps)
+            if opts.progress and is_primary:
                 from tqdm import tqdm
                 batches = tqdm(batches, desc=f"Epoch {ep+1}/{opts.epoch} [Train]",
-                               total=train_ds.steps_per_epoch(opts.batch_size),
+                               total=(train_steps if train_steps is not None
+                                      else train_ds.steps_per_epoch(local_bs)),
                                leave=False)
             for i, batch in enumerate(batches):
                 rng, sub = jax.random.split(rng)
@@ -190,36 +230,44 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
             loss_history.append(avg_train_loss)
             epoch_secs = time.time() - t0
 
-            with open(metrics_file, "a") as f:
-                f.write(json.dumps({
-                    "epoch": ep + 1, "train_loss": avg_train_loss,
-                    "lr": get_learning_rate(state),
-                    "steps": len(losses), "secs": round(epoch_secs, 3),
-                }) + "\n")
+            if is_primary:
+                with open(metrics_file, "a") as f:
+                    f.write(json.dumps({
+                        "epoch": ep + 1, "train_loss": avg_train_loss,
+                        "lr": get_learning_rate(state),
+                        "steps": len(losses), "secs": round(epoch_secs, 3),
+                    }) + "\n")
 
             if valid_ds is not None and (ep + 1) % opts.val_interval == 0:
                 val_losses = []
-                for batch in valid_ds.batches(opts.batch_size, shuffle=False):
+                for batch in valid_ds.batches(local_bs, shuffle=False,
+                                              n_steps=val_steps):
                     aux = eval_step(state, put(batch))
                     val_losses.append(float(aux["total"]))
+                # the eval loss is a GLOBAL mean under the mesh sharding, so
+                # avg_val_loss (and the best-ckpt decision) is identical on
+                # every host — no cross-host reduction needed here
                 avg_val_loss = float(np.mean(val_losses))
                 log_buffer.append(f"Val {avg_val_loss}\n")
-                print(f"\n[Epoch {ep+1}] Train Loss: {avg_train_loss:.4e} | "
-                      f"Val Loss: {avg_val_loss:.4e}")
+                if is_primary:
+                    print(f"\n[Epoch {ep+1}] Train Loss: "
+                          f"{avg_train_loss:.4e} | "
+                          f"Val Loss: {avg_val_loss:.4e}")
                 if avg_val_loss < best_val_loss:
                     best_val_loss = avg_val_loss
-                    save_ckpt(best_weight, state, epoch=ep + 1,
-                              extras={"best_val_loss": best_val_loss,
-                                      "loss_list_total": loss_history})
-                    if opts.export_pth:
-                        export_ckpt(best_weight[:-5] + ".pth", state,
-                                    epoch=ep + 1)
+                    if is_primary:
+                        save_ckpt(best_weight, state, epoch=ep + 1,
+                                  extras={"best_val_loss": best_val_loss,
+                                          "loss_list_total": loss_history})
+                        if opts.export_pth:
+                            export_ckpt(best_weight[:-5] + ".pth", state,
+                                        epoch=ep + 1)
                 _flush_log()
-            else:
+            elif is_primary:
                 print(f"Epoch {ep+1} Avg Loss: {avg_train_loss:.4e}")
 
             saved_latest = (ep + 1) % opts.save_every == 0 or ep + 1 == opts.epoch
-            if saved_latest:
+            if saved_latest and is_primary:
                 save_ckpt(ckpt_weight, state, epoch=ep + 1,  # latest
                           extras={"loss_list_total": loss_history,
                                   "best_val_loss": best_val_loss})

@@ -1,0 +1,164 @@
+"""Multi-host execution tests: REAL 2-process ``jax.distributed`` runs on
+CPU (2 local devices per process -> 4 global devices), driven as
+subprocesses.  Proves the DCN input-pipeline design (SURVEY.md §2.3): each
+host contributes its local slice via ``global_batch_from_local`` and the
+collective step produces exactly the single-device result on the same
+global batch; and that ``fit()`` runs hosts in lockstep end-to-end.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _run_pair(script: str, tmp_path, timeout=420):
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    procs = [subprocess.Popen([sys.executable, "-c", script, str(pid)],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, env=env, text=True,
+                              cwd=str(tmp_path))
+             for pid in (0, 1)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"proc failed:\n{out}"
+    return outs
+
+
+_PREAMBLE = """
+import sys
+import jax
+jax.config.update("jax_num_cpu_devices", 2)
+jax.config.update("jax_platforms", "cpu")
+pid = int(sys.argv[1])
+jax.distributed.initialize(coordinator_address="127.0.0.1:{port}",
+                           num_processes=2, process_id=pid)
+import numpy as np
+"""
+
+
+def test_two_process_step_matches_single_device(tmp_path):
+    """2 hosts x 2 devices, per-host local batches -> global step == the
+    single-device step on the concatenated batch (params bitwise-close)."""
+    script = _PREAMBLE.format(port=_free_port()) + textwrap.dedent("""
+    import optax
+    from svs_tpu.parallel import dp, mesh as mesh_lib, multihost
+    from svs_tpu.train.step import create_train_state
+    from svs_tpu.utils.config import SVSConfig
+
+    mesh = mesh_lib.make_mesh()           # 4 global devices
+    cfg = SVSConfig(input_len=64, dropout_rate=0.0)
+    opt = optax.inject_hyperparams(optax.sgd)(learning_rate=0.01)
+    state = dp.replicate_state(
+        create_train_state(jax.random.key(0), cfg, opt), mesh)
+    step = dp.make_dp_train_step(mesh, cfg, opt)
+
+    rng = np.random.default_rng(7)        # same full batch on both procs
+    full = {k: rng.random((4, 512, 64), np.float32)
+            for k in ("mix", "voc", "mix_angle", "voc_angle")}
+    local = {k: v[pid * 2:(pid + 1) * 2] for k, v in full.items()}
+    batch = multihost.global_batch_from_local(mesh, local)
+    state, aux = step(state, batch, jax.random.key(1))
+    if pid == 0:
+        np.savez("mp_result.npz",
+                 loss=float(aux["total"]),
+                 **{f"p{i}": np.asarray(x) for i, x in
+                    enumerate(jax.tree.leaves(state.params))})
+    """)
+    _run_pair(script, tmp_path)
+
+    # single-device comparator on the identical global batch
+    import optax
+    import jax
+    from svs_tpu.train.step import create_train_state, make_train_step
+    from svs_tpu.utils.config import SVSConfig
+
+    cfg = SVSConfig(input_len=64, dropout_rate=0.0)
+    opt = optax.inject_hyperparams(optax.sgd)(learning_rate=0.01)
+    state = create_train_state(jax.random.key(0), cfg, opt)
+    rng = np.random.default_rng(7)
+    full = {k: rng.random((4, 512, 64), np.float32)
+            for k in ("mix", "voc", "mix_angle", "voc_angle")}
+    step = make_train_step(cfg, opt)
+    state, aux = step(state, full, jax.random.key(1))
+
+    got = np.load(str(tmp_path / "mp_result.npz"))
+    np.testing.assert_allclose(float(got["loss"]), float(aux["total"]),
+                               rtol=1e-5)
+    for i, want in enumerate(jax.tree.leaves(state.params)):
+        np.testing.assert_allclose(got[f"p{i}"], np.asarray(want),
+                                   atol=1e-4, rtol=1e-3)
+
+
+def _make_spec_dataset(root, n_songs=3, t=150):
+    rng = np.random.default_rng(0)
+    for folder in ("mixture", "vocal"):
+        os.makedirs(os.path.join(root, folder), exist_ok=True)
+    for i in range(n_songs):
+        base = f"{i:04d}_s{i}"
+        for folder in ("mixture", "vocal"):
+            np.save(os.path.join(root, folder, f"{base}_spec.npy"),
+                    rng.random((513, t)).astype(np.float32))
+            ang = rng.random((513, t)).astype(np.float32) * 6 - 3
+            np.save(os.path.join(root, folder, f"{base}_phase.npy"),
+                    np.exp(1j * ang).astype(np.complex64))
+
+
+def test_two_process_fit_lockstep(tmp_path):
+    """End-to-end fit() across 2 processes: song shards per host, lockstep
+    step counts (odd song count!), primary-only checkpoint/log writes,
+    identical global losses on both hosts."""
+    train_dir = str(tmp_path / "train")
+    _make_spec_dataset(train_dir, n_songs=3)  # 3 songs -> uneven shard
+    script = _PREAMBLE.format(port=_free_port()) + textwrap.dedent("""
+    from svs_tpu.parallel import mesh as mesh_lib
+    from svs_tpu.train.loop import TrainOptions, fit
+    from svs_tpu.utils.config import SVSConfig
+
+    mesh = mesh_lib.make_mesh()
+    state = fit(TrainOptions(
+        train_folder={train_dir!r}, valid_folder={train_dir!r},
+        label="mp", epoch=2, batch_size=4, val_interval=1,
+        ckpt_dir="CKPT", log_dir="LOG",
+        load_path="none", progress=False, mesh=mesh,
+    ), SVSConfig(samples_per_song=2, input_len=64, dropout_rate=0.0))
+    print(f"DONE pid={{pid}} step={{int(state.step)}}")
+    """.format(train_dir=train_dir))
+    outs = _run_pair(script, tmp_path)
+
+    steps = sorted(line for out in outs for line in out.splitlines()
+                   if line.startswith("DONE"))
+    assert len(steps) == 2
+    # both hosts ran the same number of collective steps
+    assert steps[0].split("step=")[1] == steps[1].split("step=")[1]
+
+    # primary wrote the artifacts (exactly one writer)
+    assert os.path.exists(str(tmp_path / "CKPT" / "svs_mp.ckpt"))
+    metrics = [json.loads(l) for l in
+               open(str(tmp_path / "LOG" / "metrics_mp.jsonl"))]
+    assert len(metrics) == 2  # one per epoch, not doubled
+    assert all(np.isfinite(m["train_loss"]) for m in metrics)
+    # global batch = 2 hosts * ceil(4/2)=2 local -> 4; global len = 3*2=6
+    # -> ceil(6/4)=2 steps/epoch on every host
+    assert all(m["steps"] == 2 for m in metrics)
+    log = open(str(tmp_path / "LOG" / "log_mp.txt")).read().splitlines()
+    assert sum(1 for l in log if l.startswith("Val ")) == 2
