@@ -19,6 +19,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--frontend", action="store_true",
                    help="microbench the spectrogram front-end instead: "
                         "Pallas fused kernel vs the XLA STFT path")
+    p.add_argument("--train", action="store_true",
+                   help="microbench the training step instead: ms/step, "
+                        "steps/s and MFU at --batch")
+    p.add_argument("--batch", type=int, default=32,
+                   help="train-bench batch size (reference docs use 32)")
     return p
 
 
@@ -34,13 +39,20 @@ def _frontend_bench(secs: float) -> int:
                      .standard_normal(int(8192 * secs)) * 0.3
                      ).astype(np.float32))
 
-    def timeit(f, reps=30):
-        r = f()
-        jax.block_until_ready(r)
+    def fetch(r):
+        # value fetch as the barrier: on the axon platform block_until_ready
+        # returns before execution finishes; fetching a scalar from the LAST
+        # result forces it (and, FIFO device queue, everything before it)
+        leaf = jax.tree.leaves(r)[0]
+        return float(leaf[(0,) * leaf.ndim])
+
+    def timeit(f, reps=100):
+        # reps amortise the ~40 ms tunnel round-trip of the closing fetch
+        fetch(f())
         t0 = time.perf_counter()
         for _ in range(reps):
             r = f()
-        jax.block_until_ready(r)
+        fetch(r)
         return (time.perf_counter() - t0) / reps * 1e3
 
     xla_fn = jax.jit(lambda s: jnp.abs(dsp.stft(s, n_fft=1024,
@@ -50,11 +62,21 @@ def _frontend_bench(secs: float) -> int:
     err = float(jnp.max(jnp.abs(
         pdsp.stft_magnitude(y, 1024, 768)
         - jnp.abs(dsp.stft(y, n_fft=1024, hop_length=768)))))
+    # the production prep path: fused mag+phase kernel vs the XLA FFT+magphase
+    t_mp_pallas = timeit(lambda: pdsp.stft_magphase(y, 1024, 768))
+    t_mp_xla = timeit(lambda: dsp.stft_magphase_jit(y, n_fft=1024,
+                                                    hop_length=768))
+    mp_mag, _ = pdsp.stft_magphase(y, 1024, 768)
+    xla_mag, _ = dsp.stft_magphase_jit(y, n_fft=1024, hop_length=768)
+    mp_err = float(jnp.max(jnp.abs(mp_mag - xla_mag)))
     print(json.dumps({
-        "metric": "frontend_stft_mag_ms",
-        "pallas_ms": round(t_pallas, 3),
-        "xla_ms": round(t_xla, 3),
-        "max_abs_err": err,
+        "metric": "frontend_stft_ms",
+        "mag_pallas_ms": round(t_pallas, 3),
+        "mag_xla_ms": round(t_xla, 3),
+        "mag_max_abs_err": err,
+        "magphase_pallas_ms": round(t_mp_pallas, 3),
+        "magphase_xla_ms": round(t_mp_xla, 3),
+        "magphase_max_abs_err": mp_err,
     }))
     return 0
 
@@ -64,6 +86,18 @@ def main(argv=None) -> int:
     logging.disable(logging.WARNING)
     if args.frontend:
         return _frontend_bench(args.secs)
+    if args.train:
+        import dataclasses
+
+        from svs_tpu.utils.benchmark import train_step_bench
+        from svs_tpu.utils.config import SVSConfig
+
+        cfg = SVSConfig()
+        if args.dtype:
+            cfg = dataclasses.replace(cfg, compute_dtype=args.dtype)
+        print(json.dumps(dict({"metric": "train_step"},
+                              **train_step_bench(cfg, batch_size=args.batch))))
+        return 0
     from svs_tpu.utils.benchmark import run_bench
 
     print(json.dumps(run_bench(secs=args.secs, reps=args.reps,

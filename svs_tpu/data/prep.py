@@ -25,6 +25,7 @@ from __future__ import annotations
 import os
 from typing import Iterable, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -43,7 +44,16 @@ def _bucket_pad(y: np.ndarray) -> np.ndarray:
     return np.pad(y, (0, n - y.shape[-1]))
 
 
-def stft_magphase(y: np.ndarray, n_fft: int, hop: int
+# preprocessing STFT backend: 'auto' routes to the fused Pallas framing+DFT+
+# magphase kernel on TPU (north-star "librosa preprocessing becomes a fused
+# Pallas FFT + framing kernel") and the XLA FFT path elsewhere; 'xla' forces
+# the exact-FFT path, 'pallas' forces the kernel (interpret mode off-TPU).
+# Equivalence between the two is pinned in tests/test_pallas.py.
+STFT_IMPL = os.environ.get("SVS_TPU_PREP_STFT", "auto")
+
+
+def stft_magphase(y: np.ndarray, n_fft: int, hop: int,
+                  impl: Optional[str] = None
                   ) -> Tuple[np.ndarray, np.ndarray]:
     """On-device STFT + magphase of an arbitrary-length host signal, with
     length-bucketed compilation; exact librosa frame count (1 + T//hop).
@@ -51,10 +61,19 @@ def stft_magphase(y: np.ndarray, n_fft: int, hop: int
     complex64 never crosses the host boundary (unsupported on some TPU
     runtimes): the device returns f32 real/imag planes, combined here.
     """
+    impl = impl or STFT_IMPL
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     n_frames = 1 + len(y) // hop  # librosa center=True frame count
-    mag, phase_ri = dsp.stft_magphase_jit(
-        jnp.asarray(_bucket_pad(y)), n_fft=n_fft, hop_length=hop
-    )
+    yj = jnp.asarray(_bucket_pad(y))
+    if impl == "pallas":
+        from svs_tpu.ops.pallas import dsp as pdsp
+        mag, phase_ri = pdsp.stft_magphase(
+            yj, n_fft=n_fft, hop_length=hop,
+            interpret=jax.default_backend() != "tpu",
+        )
+    else:
+        mag, phase_ri = dsp.stft_magphase_jit(yj, n_fft=n_fft, hop_length=hop)
     mag = np.asarray(mag)[:, :n_frames]
     ri = np.asarray(phase_ri)[:, :, :n_frames]
     return mag, (ri[0] + 1j * ri[1]).astype(np.complex64)

@@ -89,10 +89,17 @@ def _spectral_mag_matmul(x: jax.Array, n_fft: int, hop: int, win: int,
     # tensors are the loss chain's dominant HBM traffic — writing them in the
     # matmul dtype halves it
     frames = dsp.frame_signal(xp.astype(dtype), n_fft, hop)
+    # f32 MXU accumulation, but STORE the (frames, 2*bins) DFT planes in the
+    # matmul dtype: they are the loss graph's largest HBM arrays (213 MB at
+    # the 1024/120 resolution, B=32) and the cast fuses into the matmul
+    # epilogue.  Measured on v5e: loss fwd+bwd 10.8 -> 9.1 ms, grad rel diff
+    # 1.7e-4 (same class as the matmul_bf16 approximation itself).
     out = jnp.dot(frames, _dft_filters(n_fft, win).astype(dtype),
-                  preferred_element_type=jnp.float32)
+                  preferred_element_type=jnp.float32).astype(dtype)
     n_bins = n_fft // 2 + 1
-    power = out[..., :n_bins] ** 2 + out[..., n_bins:] ** 2
+    re = out[..., :n_bins].astype(jnp.float32)
+    im = out[..., n_bins:].astype(jnp.float32)
+    power = re * re + im * im
     mag = jnp.sqrt(jnp.clip(power, 1e-8, None))
     return jnp.swapaxes(mag, -1, -2).reshape(*lead, n_bins, -1)
 

@@ -42,18 +42,20 @@ _DN = ("NHWC", "HWIO", "NHWC")
 
 
 def _conv(x: jax.Array, w: jax.Array, stride: int, compute_dtype) -> jax.Array:
-    # conv runs wholly in compute_dtype and is cast back to f32 afterwards:
-    # the cast's VJP keeps the backward convs dtype-consistent (a
-    # preferred_element_type upcast would hand an f32 cotangent to a bf16
-    # transpose conv, which lax rejects); TPU MXU accumulates bf16 inputs in
-    # f32 internally either way.
+    # conv runs wholly in compute_dtype and its output STAYS in compute_dtype
+    # (activations between levels are bf16 when cfg.compute_dtype is — halves
+    # the HBM activation traffic of fwd AND bwd, the non-MXU-bound part of
+    # the step).  Keeping every op in one dtype also keeps the backward convs
+    # dtype-consistent (a preferred_element_type upcast would hand an f32
+    # cotangent to a bf16 transpose conv, which lax rejects); the MXU
+    # accumulates bf16 inputs in f32 internally either way.
     return jax.lax.conv_general_dilated(
         x.astype(compute_dtype),
         w.astype(compute_dtype),
         window_strides=(stride, stride),
         padding=((2, 2), (2, 2)),
         dimension_numbers=_DN,
-    ).astype(jnp.float32)
+    )
 
 
 def _conv_transpose(x: jax.Array, w: jax.Array, compute_dtype) -> jax.Array:
@@ -72,7 +74,7 @@ def _conv_transpose(x: jax.Array, w: jax.Array, compute_dtype) -> jax.Array:
         padding=((2, 3), (2, 3)),
         lhs_dilation=(2, 2),
         dimension_numbers=_DN,
-    ).astype(jnp.float32)
+    )
 
 
 def _batch_norm(
@@ -93,18 +95,23 @@ def _batch_norm(
     ``weight`` is an optional per-example (B,) 0/1 validity mask: batch
     statistics are then computed over real examples only, so a zero-padded
     batch (drop-free remainder policy, parallel.mesh.shard_batch) yields
-    exactly the unpadded batch's statistics."""
+    exactly the unpadded batch's statistics.
+
+    Stats/running-state stay float32 regardless of the activation dtype (the
+    reductions upcast, which XLA fuses into the reduce); the normalisation
+    itself runs in the activation's dtype so bf16 activations stay bf16."""
     if train:
         axes = (0, 1, 2)
+        x32 = x.astype(jnp.float32)
         if weight is None:
-            batch_mean = jnp.mean(x, axis=axes)
-            batch_var = jnp.var(x, axis=axes)
+            batch_mean = jnp.mean(x32, axis=axes)
+            batch_var = jnp.var(x32, axis=axes)
             n = x.shape[0] * x.shape[1] * x.shape[2]
         else:
             w = weight[:, None, None, None]
             n = jnp.sum(weight) * (x.shape[1] * x.shape[2])
-            batch_mean = jnp.sum(w * x, axis=axes) / n
-            batch_var = jnp.sum(w * (x - batch_mean) ** 2, axis=axes) / n
+            batch_mean = jnp.sum(w * x32, axis=axes) / n
+            batch_var = jnp.sum(w * (x32 - batch_mean) ** 2, axis=axes) / n
         unbiased = batch_var * (n / jnp.maximum(n - 1, 1))
         new_mean = (1 - momentum) * mean + momentum * batch_mean
         new_var = (1 - momentum) * var + momentum * unbiased
@@ -113,7 +120,8 @@ def _batch_norm(
         new_mean, new_var = mean, var
         use_mean, use_var = mean, var
     inv = jax.lax.rsqrt(use_var + eps)
-    y = (x - use_mean) * (inv * scale) + bias
+    y = ((x - use_mean.astype(x.dtype)) * (inv * scale).astype(x.dtype)
+         + bias.astype(x.dtype))
     return y, new_mean, new_var
 
 
@@ -214,7 +222,7 @@ def apply(
     x = mix[..., None].astype(jnp.float32)  # NHWC: (B, F, T, 1)
 
     def enc_level(p, s, x):
-        x = _conv(x, p["w"], cfg.stride, cdtype) + p["b"]
+        x = _conv(x, p["w"], cfg.stride, cdtype) + p["b"].astype(cdtype)
         x, m, v = _batch_norm(
             x, p["scale"], p["bias"], s["mean"], s["var"],
             train=train, eps=cfg.bn_eps, momentum=cfg.bn_momentum,
@@ -224,7 +232,7 @@ def apply(
         return x, m, v
 
     def dec_level(p, s, inp, key):
-        x = _conv_transpose(inp, p["w"], cdtype) + p["b"]
+        x = _conv_transpose(inp, p["w"], cdtype) + p["b"].astype(cdtype)
         x, m, v = _batch_norm(
             x, p["scale"], p["bias"], s["mean"], s["var"],
             train=train, eps=cfg.bn_eps, momentum=cfg.bn_momentum,
@@ -261,9 +269,9 @@ def apply(
             x, m, v = dec_level(p, state["dec"][i], inp, drop_keys[i])
             new_state["dec"].append(dict(mean=m, var=v))
         else:
-            x = _conv_transpose(inp, p["w"], cdtype) + p["b"]
+            x = _conv_transpose(inp, p["w"], cdtype) + p["b"].astype(cdtype)
 
-    mask = jax.nn.sigmoid(x)
+    mask = jax.nn.sigmoid(x.astype(jnp.float32))
     return mask[..., 0].astype(jnp.float32), new_state
 
 

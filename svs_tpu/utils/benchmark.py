@@ -8,18 +8,109 @@ north-star bar at 50x realtime.
 from __future__ import annotations
 
 import time
-from typing import Dict, Optional
+from typing import Dict, Optional, Tuple
 
 import numpy as np
+
+# bf16 MXU peak FLOPs/s per chip by device kind (public spec sheets); used as
+# the MFU denominator.  f32 conv compute on v5e+ is emulated on the bf16 MXU,
+# so bf16 peak is the honest ceiling either way.
+_PEAK_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+}
+
+
+def _device_peak_flops() -> Optional[float]:
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    for name, peak in _PEAK_FLOPS.items():
+        if kind.startswith(name):
+            return peak
+    return None
+
+
+def train_step_bench(cfg=None, batch_size: int = 32, steps: int = 100,
+                     seed: int = 0) -> Dict:
+    """Single-chip training-step throughput at the documented batch size
+    (reference train.py:396 uses B=32): ms/step, steps/s, and MFU against the
+    chip's bf16 peak (BASELINE.json config #4 'train-step parity/throughput').
+    """
+    import jax
+
+    from svs_tpu.train.step import create_train_state, make_train_step
+    from svs_tpu.utils.config import SVSConfig
+
+    cfg = cfg or SVSConfig()
+    rng = np.random.default_rng(seed)
+    shape = (batch_size, cfg.freq_bins, cfg.input_len)
+    batch = {
+        "mix": jax.device_put(rng.random(shape, np.float32)),
+        "voc": jax.device_put(rng.random(shape, np.float32) * 0.5),
+        "mix_angle": jax.device_put(
+            ((rng.random(shape, np.float32) - 0.5) * 6.0)),
+        "voc_angle": jax.device_put(
+            ((rng.random(shape, np.float32) - 0.5) * 6.0)),
+    }
+    state = create_train_state(jax.random.key(0), cfg)
+    step = make_train_step(cfg)
+
+    # AOT-compile once; the same executable provides the analytic FLOPs
+    # (includes the loss's STFT matmuls, the backward pass and the Adam
+    # update) AND runs the timed steps — no second jit compilation.
+    key = jax.random.key(2)
+    compiled = step.lower(state, batch, key).compile()
+    try:
+        cost = compiled.cost_analysis()
+        flops_per_step = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        flops_per_step = None
+    step = compiled
+
+    state, aux = step(state, batch, key)  # first run
+    float(aux["total"])
+
+    # best-of-3 like the streaming bench: tunnel rigs fluctuate.  NOTE the
+    # end-of-burst barrier is a VALUE FETCH, not block_until_ready: on the
+    # axon remote platform block_until_ready returns before execution
+    # finishes (measured: it "times" a 1.1 TFLOP matmul at 0.025 ms), while
+    # fetching a scalar that data-depends on the whole burst (state chains
+    # step->step) forces real completion.
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, aux = step(state, batch, key)
+        float(aux["total"])
+        best = min(best, (time.perf_counter() - t0) / steps)
+
+    peak = _device_peak_flops()
+    mfu = (flops_per_step / best / peak * 100.0
+           if flops_per_step and peak else None)
+    return {
+        "train_step_ms": round(best * 1e3, 2),
+        "train_steps_per_sec": round(1.0 / best, 2),
+        "train_batch": batch_size,
+        "train_flops_per_step": flops_per_step,
+        "train_mfu_pct": round(mfu, 2) if mfu is not None else None,
+    }
 
 
 def run_bench(secs: float = 240.0, reps: int = 8, seed: int = 0,
               cfg=None, compute_dtype: Optional[str] = None,
-              pcm16: bool = True) -> Dict:
+              pcm16: bool = True, train: bool = True) -> Dict:
     """Sustained streaming separation of ``reps`` songs of ``secs`` seconds:
     the serving configuration (PCM16 wavs in/out, on-device decode, software-
     pipelined transfers, BASELINE.json config 'multi-song batched streaming
-    inference')."""
+    inference').  With ``train=True`` the returned line also carries the
+    training-step throughput fields (BASELINE.json config #4) from
+    :func:`train_step_bench`."""
     import jax
 
     from svs_tpu.infer import separate
@@ -59,7 +150,7 @@ def run_bench(secs: float = 240.0, reps: int = 8, seed: int = 0,
     realtime = secs / elapsed
     target_fps = 50.0 * cfg.sample_rate / cfg.hop_size
 
-    return {
+    result = {
         "metric": "e2e_frames_per_sec",
         "value": round(frames_per_sec, 1),
         "unit": (f"frames/s (= {realtime:.0f}x realtime; streaming "
@@ -67,3 +158,9 @@ def run_bench(secs: float = 240.0, reps: int = 8, seed: int = 0,
                  f"{'pcm16' if pcm16 else 'f32'} host I/O)"),
         "vs_baseline": round(frames_per_sec / target_fps, 2),
     }
+    if train:
+        try:
+            result.update(train_step_bench(cfg))
+        except Exception as e:  # the headline metric must survive regardless
+            result["train_bench_error"] = repr(e)
+    return result

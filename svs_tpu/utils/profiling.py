@@ -56,6 +56,11 @@ def debug_nans(enable: bool = True):
 class StepTimer:
     """Wall-clock step timing with compile-warmup discard.
 
+    NOTE (axon rigs): wrap work that ends in a VALUE FETCH (``float(loss)``)
+    — on the axon remote platform ``jax.block_until_ready`` returns before
+    device execution finishes, so timing un-fetched dispatches measures
+    host-side dispatch only (see scripts/profile_step.py methodology).
+
     >>> t = StepTimer(warmup=1)
     >>> for batch in batches:
     ...     with t.step():
