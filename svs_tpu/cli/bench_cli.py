@@ -24,7 +24,37 @@ def build_parser() -> argparse.ArgumentParser:
                         "steps/s and MFU at --batch")
     p.add_argument("--batch", type=int, default=32,
                    help="train-bench batch size (reference docs use 32)")
+    p.add_argument("--dp-smoke", action="store_true",
+                   help="run the 8-device DP train-step + SP-inference "
+                        "dryrun on a virtual CPU mesh (subprocess) and "
+                        "report pass/fail + wall time")
     return p
+
+
+def _dp_smoke() -> int:
+    """Correctness smoke for the scale-out path (BASELINE config #5): the
+    full DP train step + segment-parallel inference on an 8-device virtual
+    CPU mesh, in a subprocess so the current process's backend is untouched."""
+    import subprocess
+    import sys
+    import time
+
+    t0 = time.perf_counter()
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        capture_output=True, text=True, timeout=1200,
+    )
+    print(json.dumps({
+        "metric": "dp_smoke",
+        "ok": proc.returncode == 0,
+        "devices": 8,
+        "wall_s": round(time.perf_counter() - t0, 1),
+        "detail": (proc.stdout.strip().splitlines() or [""])[-1]
+                  if proc.returncode == 0 else
+                  (proc.stderr.strip().splitlines() or [""])[-1],
+    }))
+    return 0 if proc.returncode == 0 else 1
 
 
 def _frontend_bench(secs: float) -> int:
@@ -86,6 +116,8 @@ def main(argv=None) -> int:
     logging.disable(logging.WARNING)
     if args.frontend:
         return _frontend_bench(args.secs)
+    if args.dp_smoke:
+        return _dp_smoke()
     if args.train:
         import dataclasses
 

@@ -125,7 +125,16 @@ def run_bench(secs: float = 240.0, reps: int = 8, seed: int = 0,
 
     n = int(cfg.sample_rate * secs)
     rng = np.random.default_rng(seed)
-    y = (rng.standard_normal(n) * 0.1).astype(np.float32)
+    # a music-like fixture rather than white noise: harmonic "vocal" with
+    # vibrato + low "accompaniment" + noise floor, so the PCM16 quantise
+    # path and the mask see a realistic magnitude distribution (throughput
+    # itself is shape-dependent only)
+    t = np.arange(n, dtype=np.float64) / cfg.sample_rate
+    vib = 1.0 + 0.01 * np.sin(2 * np.pi * 5.0 * t)
+    y = (0.3 * np.sin(2 * np.pi * 440.0 * vib * t)
+         + 0.15 * np.sin(2 * np.pi * 880.0 * t)
+         + 0.2 * np.sin(2 * np.pi * 130.0 * t)
+         + 0.02 * rng.standard_normal(n)).astype(np.float32)
     if pcm16:
         y = (y * 32768.0).clip(-32768, 32767).astype(np.int16)
 
