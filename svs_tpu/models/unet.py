@@ -77,6 +77,92 @@ def _conv_transpose(x: jax.Array, w: jax.Array, compute_dtype) -> jax.Array:
     )
 
 
+# --- packed (space-to-depth) lowerings of the two edge layers -------------
+#
+# The first conv (1 input channel) and last deconv (1 output channel) run the
+# model's largest spatial extents with almost no channels, so the 128x128 MXU
+# is nearly empty there and their backward passes are lhs-dilated convs XLA
+# tiles poorly; measured on v5e (B=32, f32 fwd+bwd): enc1 1.6 ms and dec6
+# 3.0 ms of the 9.6 ms model total.  Packing 2x2 spatial blocks into channels
+# turns both into stride-1 3x3 convs (and makes every autodiff-derived
+# backward conv stride-1 too — no lhs_dilation anywhere).  The weight
+# rearrangements below are exact: same taps, same sums, only the iteration
+# space changes, so checkpoints are untouched and packed == direct to float
+# rounding (tests/test_unet.py pins both paths against each other).
+
+
+def _space_to_depth(x: jax.Array) -> jax.Array:
+    """(B, H, W, C) -> (B, H/2, W/2, 4C); packed channel = (row, col, C)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+
+
+def _depth_to_space(x: jax.Array) -> jax.Array:
+    """(B, H, W, 4C) -> (B, 2H, 2W, C); inverse packing of _space_to_depth."""
+    b, h, w, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(b, h, w, 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, c)
+
+
+def _pack_enc_kernel(w: jax.Array) -> jax.Array:
+    """(5, 5, Cin, Cout) stride-2 kernel -> (3, 3, 4*Cin, Cout) stride-1
+    kernel on space-to-depth input.
+
+    Output pixel (i, j) of the stride-2 pad-2 conv reads input rows
+    2i-2..2i+2 = packed rows i-1..i+1 at in-block offsets a, b with original
+    tap u = 2*dp + a (dp = packed row offset + 1 in [0, 2]); tap index 5
+    (dp=2, a=1) does not exist -> zero-pad the kernel to 6x6 first."""
+    k, _, cin, cout = w.shape
+    wp = jnp.pad(w, ((0, 1), (0, 1), (0, 0), (0, 0)))  # (6, 6, Cin, Cout)
+    wp = wp.reshape(3, 2, 3, 2, cin, cout)             # [dp, a, dq, b]
+    return wp.transpose(0, 2, 1, 3, 4, 5).reshape(3, 3, 4 * cin, cout)
+
+
+def _pack_dec_kernel(w: jax.Array) -> jax.Array:
+    """(5, 5, Cin, Cout) lhs-dilated-conv kernel (the _conv_transpose form)
+    -> (3, 3, Cin, 4*Cout) stride-1 kernel producing depth-to-space output.
+
+    Output sample y[2n+alpha] of the dilation-2 pad-(2,3) conv sums taps
+    u = 2*d + 2 - alpha over packed-input offsets d in [-1, 1]; with the
+    kernel front-padded by 1 the index becomes 2*(d+1) + (1-alpha), so the
+    (1-alpha, 1-beta) sub-kernels are read off a (3,2,3,2) reshape and the
+    phase axes flipped back to (alpha, beta) order."""
+    k, _, cin, cout = w.shape
+    wq = jnp.pad(w, ((1, 0), (1, 0), (0, 0), (0, 0)))  # (6, 6, Cin, Cout)
+    wq = wq.reshape(3, 2, 3, 2, cin, cout)             # [d, 1-alpha, e, 1-beta]
+    wq = wq[:, ::-1, :, ::-1]                          # [d, alpha, e, beta]
+    # -> (d, e, Cin, alpha, beta, Cout) -> (3, 3, Cin, 4*Cout)
+    return wq.transpose(0, 2, 4, 1, 3, 5).reshape(3, 3, cin, 4 * cout)
+
+
+def _conv_packed(x: jax.Array, w: jax.Array, compute_dtype) -> jax.Array:
+    """Exact rewrite of ``_conv(stride=2)``: space-to-depth input, 3x3
+    stride-1 conv with the rearranged kernel."""
+    return jax.lax.conv_general_dilated(
+        _space_to_depth(x.astype(compute_dtype)),
+        _pack_enc_kernel(w).astype(compute_dtype),
+        window_strides=(1, 1),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=_DN,
+    )
+
+
+def _conv_transpose_packed(x: jax.Array, w: jax.Array,
+                           compute_dtype) -> jax.Array:
+    """Exact rewrite of ``_conv_transpose``: 3x3 stride-1 conv emitting the
+    four output phases as channels, then depth-to-space."""
+    y = jax.lax.conv_general_dilated(
+        x.astype(compute_dtype),
+        _pack_dec_kernel(w).astype(compute_dtype),
+        window_strides=(1, 1),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=_DN,
+    )
+    return _depth_to_space(y)
+
+
 def _batch_norm(
     x: jax.Array,
     scale: jax.Array,
@@ -221,8 +307,16 @@ def apply(
 
     x = mix[..., None].astype(jnp.float32)  # NHWC: (B, F, T, 1)
 
-    def enc_level(p, s, x):
-        x = _conv(x, p["w"], cfg.stride, cdtype) + p["b"].astype(cdtype)
+    # the packed lowering is exact but specific to the reference geometry
+    # (kernel 5, stride 2, even spatial dims — true for every preset)
+    packable = (cfg.packed_edge_convs and cfg.kernel_size == 5
+                and cfg.stride == 2)
+
+    def enc_level(p, s, x, packed=False):
+        if packed and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            x = _conv_packed(x, p["w"], cdtype) + p["b"].astype(cdtype)
+        else:
+            x = _conv(x, p["w"], cfg.stride, cdtype) + p["b"].astype(cdtype)
         x, m, v = _batch_norm(
             x, p["scale"], p["bias"], s["mean"], s["var"],
             train=train, eps=cfg.bn_eps, momentum=cfg.bn_momentum,
@@ -247,13 +341,13 @@ def apply(
         # rematerialise each level's activations in the backward pass
         # (identical numerics; trades recompute for activation memory on
         # long patches, e.g. the fine_tune preset's 1536 frames)
-        enc_level = jax.checkpoint(enc_level)
+        enc_level = jax.checkpoint(enc_level, static_argnums=(3,))
         dec_level = jax.checkpoint(dec_level)
 
     new_state: State = {"enc": [], "dec": []}
     skips = []
-    for p, s in zip(params["enc"], state["enc"]):
-        x, m, v = enc_level(p, s, x)
+    for i, (p, s) in enumerate(zip(params["enc"], state["enc"])):
+        x, m, v = enc_level(p, s, x, packable and i == 0)
         new_state["enc"].append(dict(mean=m, var=v))
         skips.append(x)
 
@@ -269,7 +363,8 @@ def apply(
             x, m, v = dec_level(p, state["dec"][i], inp, drop_keys[i])
             new_state["dec"].append(dict(mean=m, var=v))
         else:
-            x = _conv_transpose(inp, p["w"], cdtype) + p["b"].astype(cdtype)
+            deconv = _conv_transpose_packed if packable else _conv_transpose
+            x = deconv(inp, p["w"], cdtype) + p["b"].astype(cdtype)
 
     mask = jax.nn.sigmoid(x.astype(jnp.float32))
     return mask[..., 0].astype(jnp.float32), new_state

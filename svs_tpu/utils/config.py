@@ -58,6 +58,14 @@ class SVSConfig:
 
     # --- compute ---
     compute_dtype: str = "float32"   # "float32" | "bfloat16" for conv compute
+    # lower the channel-starved edge layers (first conv: 1 input channel,
+    # last deconv: 1 output channel) as space-to-depth-packed stride-1 3x3
+    # convs instead of stride-2 / lhs-dilated 5x5 convs.  Exact weight
+    # rearrangement — same taps, same sums, checkpoints untouched (see
+    # models/unet.py packed lowerings); these two layers are otherwise ~half
+    # the model's fwd+bwd time on v5e because the MXU runs nearly empty at
+    # 1-channel depth
+    packed_edge_convs: bool = False
     # rematerialise encoder/decoder levels in the backward pass (trade FLOPs
     # for activation memory — for long patches like fine_tune's 1536 frames
     # or big batches)

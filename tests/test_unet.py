@@ -192,3 +192,89 @@ def test_remat_identical_grads(rng):
     for a, b in zip(jax.tree.leaves(g_plain), jax.tree.leaves(g_remat)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-6, rtol=1e-5)
+
+
+def test_packed_edge_convs_equivalent(rng):
+    """cfg.packed_edge_convs lowers enc1 / dec6 as space-to-depth stride-1
+    convs — an exact weight rearrangement (models/unet.py).
+
+    Forward is compared in f32.  Gradients are compared in float64: the
+    rearrangement is mathematically exact (f64 agreement ~1e-12), but f32
+    gradient comparison is chaotic — a ~1e-7 forward rounding difference can
+    flip LeakyReLU/ReLU kink branches and BN batch-stat divisions amplify it,
+    so two *identical-math* lowerings legitimately diverge at ~1e-3 in f32
+    gradient leaves (measured; same effect as reordering a reduction).
+    """
+    import dataclasses
+
+    cfg_d = SVSConfig()
+    cfg_p = dataclasses.replace(cfg_d, packed_edge_convs=True)
+    params, state = unet.init(jax.random.key(0), cfg_d)
+    x32 = jnp.asarray(rng.random((3, 512, 128)).astype(np.float32))
+
+    m_d, _ = unet.apply(params, state, x32, cfg=cfg_d)
+    m_p, _ = unet.apply(params, state, x32, cfg=cfg_p)
+    np.testing.assert_allclose(np.asarray(m_p), np.asarray(m_d), atol=2e-6)
+
+    import contextlib
+
+    @contextlib.contextmanager
+    def enable_x64():
+        jax.config.update("jax_enable_x64", True)
+        try:
+            yield
+        finally:
+            jax.config.update("jax_enable_x64", False)
+
+    with enable_x64():
+        cfg_d64 = dataclasses.replace(cfg_d, compute_dtype="float64")
+        cfg_p64 = dataclasses.replace(cfg_p, compute_dtype="float64")
+        p64 = jax.tree.map(lambda a: np.asarray(a, np.float64), params)
+        s64 = jax.tree.map(lambda a: np.asarray(a, np.float64), state)
+        x = jnp.asarray(np.asarray(x32, np.float64))
+
+        def loss(p, cfg):
+            mask, st = unet.apply(p, s64, x, train=True,
+                                  dropout_rng=jax.random.key(3), cfg=cfg)
+            return jnp.sum(mask * x) + sum(
+                jnp.sum(v) for v in jax.tree.leaves(st))
+
+        g_d = jax.grad(lambda p: loss(p, cfg_d64))(p64)
+        g_p = jax.grad(lambda p: loss(p, cfg_p64))(p64)
+        for a, b in zip(jax.tree.leaves(g_d), jax.tree.leaves(g_p)):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = np.abs(a).max() + 1e-30
+            np.testing.assert_allclose(b / scale, a / scale, atol=1e-9)
+
+        # remat composes with the packed path (static_argnums on the level
+        # fn): direct+remat == packed+remat.  (remat vs non-remat is NOT
+        # compared — BN batch stats are f32 by design even under x64, and
+        # remat reorders those f32 reductions, which is amplified through
+        # activation kinks; that applies equally to both lowerings.)
+        g_dr = jax.grad(
+            lambda p: loss(p, dataclasses.replace(cfg_d64, remat=True)))(p64)
+        g_pr = jax.grad(
+            lambda p: loss(p, dataclasses.replace(cfg_p64, remat=True)))(p64)
+        for a, b in zip(jax.tree.leaves(g_dr), jax.tree.leaves(g_pr)):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = np.abs(a).max() + 1e-30
+            np.testing.assert_allclose(b / scale, a / scale, atol=1e-9)
+
+
+def test_packed_kernel_rearrangements_exact():
+    """The packed kernels reproduce the direct convs tap-for-tap on a
+    delta-probe basis (each input position lights one tap)."""
+    k = jnp.asarray(np.random.default_rng(1).random((5, 5, 1, 2)), jnp.float32)
+    x = jnp.zeros((1, 8, 8, 1), jnp.float32).at[0, 3, 5, 0].set(1.0)
+    direct = unet._conv(x, k, 2, jnp.float32)
+    packed = unet._conv_packed(x, k, jnp.float32)
+    np.testing.assert_allclose(np.asarray(packed), np.asarray(direct),
+                               atol=1e-6)
+
+    kd = jnp.asarray(np.random.default_rng(2).random((5, 5, 2, 1)), jnp.float32)
+    xd = jnp.asarray(np.random.default_rng(3).random((1, 8, 8, 2)), jnp.float32)
+    direct = unet._conv_transpose(xd, kd, jnp.float32)
+    packed = unet._conv_transpose_packed(xd, kd, jnp.float32)
+    assert direct.shape == packed.shape == (1, 16, 16, 1)
+    np.testing.assert_allclose(np.asarray(packed), np.asarray(direct),
+                               atol=1e-6)
