@@ -29,18 +29,8 @@ import jax
 import jax.numpy as jnp
 
 
-def fetch(tree) -> float:
-    leaf = jax.tree.leaves(tree)[0]
-    return float(leaf[(0,) * leaf.ndim])
-
-
-def bench(f, *args, reps: int = 100) -> float:
-    fetch(f(*args))
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        r = f(*args)
-    fetch(r)
-    return (time.perf_counter() - t0) / reps * 1e3
+from svs_tpu.utils.profiling import fetch_barrier as fetch  # noqa: E402
+from svs_tpu.utils.profiling import time_amortized as bench  # noqa: E402
 
 
 def main() -> int:

@@ -5,6 +5,7 @@ from __future__ import annotations
 import argparse
 import json
 import logging
+import os
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -34,27 +35,39 @@ def build_parser() -> argparse.ArgumentParser:
 def _dp_smoke() -> int:
     """Correctness smoke for the scale-out path (BASELINE config #5): the
     full DP train step + segment-parallel inference on an 8-device virtual
-    CPU mesh, in a subprocess so the current process's backend is untouched."""
+    CPU mesh, in a subprocess so the current process's backend is untouched.
+
+    ``__graft_entry__`` lives at the repo root (not in the installed
+    package), so the child runs with cwd pinned there — ``svs-bench
+    --dp-smoke`` works from any directory."""
     import subprocess
     import sys
     import time
 
+    import svs_tpu
+
+    repo_root = os.path.dirname(os.path.dirname(
+        os.path.abspath(svs_tpu.__file__)))
     t0 = time.perf_counter()
-    proc = subprocess.run(
-        [sys.executable, "-c",
-         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
-        capture_output=True, text=True, timeout=1200,
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+            capture_output=True, text=True, timeout=1200, cwd=repo_root,
+        )
+        ok, tail = proc.returncode == 0, (
+            (proc.stdout if proc.returncode == 0 else proc.stderr)
+            .strip().splitlines() or [""])[-1]
+    except subprocess.TimeoutExpired:
+        ok, tail = False, "timeout after 1200s"
     print(json.dumps({
         "metric": "dp_smoke",
-        "ok": proc.returncode == 0,
+        "ok": ok,
         "devices": 8,
         "wall_s": round(time.perf_counter() - t0, 1),
-        "detail": (proc.stdout.strip().splitlines() or [""])[-1]
-                  if proc.returncode == 0 else
-                  (proc.stderr.strip().splitlines() or [""])[-1],
+        "detail": tail,
     }))
-    return 0 if proc.returncode == 0 else 1
+    return 0 if ok else 1
 
 
 def _frontend_bench(secs: float) -> int:
@@ -69,21 +82,7 @@ def _frontend_bench(secs: float) -> int:
                      .standard_normal(int(8192 * secs)) * 0.3
                      ).astype(np.float32))
 
-    def fetch(r):
-        # value fetch as the barrier: on the axon platform block_until_ready
-        # returns before execution finishes; fetching a scalar from the LAST
-        # result forces it (and, FIFO device queue, everything before it)
-        leaf = jax.tree.leaves(r)[0]
-        return float(leaf[(0,) * leaf.ndim])
-
-    def timeit(f, reps=100):
-        # reps amortise the ~40 ms tunnel round-trip of the closing fetch
-        fetch(f())
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            r = f()
-        fetch(r)
-        return (time.perf_counter() - t0) / reps * 1e3
+    from svs_tpu.utils.profiling import time_amortized as timeit
 
     xla_fn = jax.jit(lambda s: jnp.abs(dsp.stft(s, n_fft=1024,
                                                 hop_length=768)))

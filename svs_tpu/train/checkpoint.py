@@ -48,9 +48,32 @@ class AsyncSaver:
         self._pool = _f.ThreadPoolExecutor(max_workers=1)
         self._pending = []
 
+    @staticmethod
+    def _snapshot(state: TrainState) -> TrainState:
+        """Device-side copy of the state, safe in multi-host jobs.
+
+        The training loop gates saves to the primary host, so the snapshot
+        must not launch a computation over a GLOBAL (multi-host) array —
+        that would be a collective program only one controller enters
+        (program skew: the other hosts hang or crash).  Train state is
+        replicated, so copy this host's local replica instead; a partitioned
+        array here would mean silently checkpointing one shard, so that is
+        rejected loudly.
+        """
+        def snap(x):
+            if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                if not x.sharding.is_fully_replicated:
+                    raise ValueError(
+                        "AsyncSaver: cannot snapshot a cross-host PARTITIONED "
+                        "array from one host; train state must be replicated")
+                x = x.addressable_data(0)  # this host's full replica
+            return jnp.copy(x)
+
+        return jax.tree.map(snap, state)
+
     def save(self, path: str, state: TrainState, *, epoch: int = 0,
              extras: Optional[Dict[str, Any]] = None) -> None:
-        snapshot = jax.tree.map(jnp.copy, state)  # device-side copy
+        snapshot = self._snapshot(state)
         # deep-copy extras too: callers pass live lists (loss_history) that
         # keep growing while the worker serialises
         extras = self._copy(extras) if extras else None
@@ -65,7 +88,7 @@ class AsyncSaver:
         ordering).  Without this, ``async_save=True`` + ``export_pth`` still
         paid a synchronous device->host parameter fetch on the training
         thread every save (VERDICT r1 weak #4)."""
-        snapshot = jax.tree.map(jnp.copy, state)
+        snapshot = self._snapshot(state)
         self._pending.append(
             self._pool.submit(export_pth, path, snapshot, epoch=epoch))
 

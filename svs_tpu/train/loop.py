@@ -91,7 +91,7 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
     pc = jax.process_count()
     is_primary = jax.process_index() == 0
     local_bs = opts.batch_size
-    train_steps = val_steps = None
+    train_steps = None
     if pc > 1:
         if opts.mesh is None:
             raise ValueError("multi-process training requires "
@@ -108,9 +108,11 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
         local_bs = -(-opts.batch_size // pc)  # per-host quota
         train_steps = -(-len(train_ds) // (local_bs * pc))
         _shard_songs(train_ds)
-        if valid_ds is not None:
-            val_steps = -(-len(valid_ds) // (local_bs * pc))
-            _shard_songs(valid_ds)
+        # validation songs are deliberately NOT sharded: every host iterates
+        # the same global sequence (multihost.global_batch_from_global), so
+        # avg_val_loss — and the best-checkpoint decision it drives — is
+        # bit-identical to the single-host run (no wraparound re-counting
+        # bias) and hosts stay in lockstep for free.
 
     if valid_ds is None and is_primary:
         print(f"Warning: no validation folder {opts.valid_folder}; skipping "
@@ -127,17 +129,25 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
         print(f"Loaded checkpoint from {opts.load_path} "
               f"(epoch {start_epoch})")
 
-    put = opts.device_put or (lambda b: b)
+    put = put_val = opts.device_put or (lambda b: b)
     if opts.mesh is not None:
         from svs_tpu.parallel import dp, mesh as mesh_lib, multihost
         train_step = dp.make_dp_train_step(opts.mesh, cfg, optimizer)
         state = dp.replicate_state(state, opts.mesh)
         if opts.device_put is None:
             if pc > 1:
+                # pad each host's rows to a fixed multiple of its device
+                # quota (zero rows, zero weight) so ANY batch size shards,
+                # not just device-count multiples
+                lq = multihost.local_quota(opts.mesh)
+                pad_to = -(-local_bs // lq) * lq
                 put = lambda b: multihost.global_batch_from_local(  # noqa: E731
+                    opts.mesh, b, pad_to=pad_to)
+                put_val = lambda b: multihost.global_batch_from_global(  # noqa: E731
                     opts.mesh, b)
             else:
-                put = lambda b: mesh_lib.shard_batch(opts.mesh, b)  # noqa: E731
+                put = put_val = \
+                    lambda b: mesh_lib.shard_batch(opts.mesh, b)  # noqa: E731
     else:
         train_step = make_train_step(cfg, optimizer)
 
@@ -240,9 +250,11 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
 
             if valid_ds is not None and (ep + 1) % opts.val_interval == 0:
                 val_losses = []
-                for batch in valid_ds.batches(local_bs, shuffle=False,
-                                              n_steps=val_steps):
-                    aux = eval_step(state, put(batch))
+                # full global batch size: every host iterates the same
+                # sequence (see the sharding note above), so this loop is
+                # identical math on 1 host, N devices, or N hosts
+                for batch in valid_ds.batches(opts.batch_size, shuffle=False):
+                    aux = eval_step(state, put_val(batch))
                     val_losses.append(float(aux["total"]))
                 # the eval loss is a GLOBAL mean under the mesh sharding, so
                 # avg_val_loss (and the best-ckpt decision) is identical on

@@ -30,10 +30,12 @@ def _device_peak_flops() -> Optional[float]:
     import jax
 
     kind = jax.devices()[0].device_kind
-    for name, peak in _PEAK_FLOPS.items():
-        if kind.startswith(name):
-            return peak
-    return None
+    # LONGEST matching prefix, so "TPU v5 lite" beats "TPU v5" regardless of
+    # dict order (a plain first-match loop silently computed a v5e's MFU
+    # against the v5p peak if the table was ever reordered)
+    hits = [(len(name), peak) for name, peak in _PEAK_FLOPS.items()
+            if kind.startswith(name)]
+    return max(hits)[1] if hits else None
 
 
 def train_step_bench(cfg=None, batch_size: int = 32, steps: int = 100,
@@ -73,21 +75,21 @@ def train_step_bench(cfg=None, batch_size: int = 32, steps: int = 100,
         flops_per_step = None
     step = compiled
 
-    state, aux = step(state, batch, key)  # first run
-    float(aux["total"])
+    from svs_tpu.utils.profiling import fetch_barrier
 
-    # best-of-3 like the streaming bench: tunnel rigs fluctuate.  NOTE the
-    # end-of-burst barrier is a VALUE FETCH, not block_until_ready: on the
-    # axon remote platform block_until_ready returns before execution
-    # finishes (measured: it "times" a 1.1 TFLOP matmul at 0.025 ms), while
-    # fetching a scalar that data-depends on the whole burst (state chains
-    # step->step) forces real completion.
+    state, aux = step(state, batch, key)  # first run
+    fetch_barrier(aux["total"])
+
+    # best-of-3 like the streaming bench: tunnel rigs fluctuate.  The
+    # end-of-burst barrier is fetch_barrier (NOT block_until_ready — see its
+    # docstring); the fetched scalar data-depends on the whole burst because
+    # state chains step->step.
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(steps):
             state, aux = step(state, batch, key)
-        float(aux["total"])
+        fetch_barrier(aux["total"])
         best = min(best, (time.perf_counter() - t0) / steps)
 
     peak = _device_peak_flops()

@@ -106,3 +106,32 @@ def device_memory_stats(device: Optional[jax.Device] = None) -> Dict:
     return {k: stats[k] for k in
             ("bytes_in_use", "peak_bytes_in_use", "bytes_limit")
             if k in stats}
+
+
+def fetch_barrier(tree) -> float:
+    """REAL completion barrier for timing: fetch a scalar that data-depends
+    on ``tree``.
+
+    On remote/tunnelled platforms (axon) ``jax.block_until_ready`` returns
+    before device execution finishes — it "times" a 1.1-TFLOP matmul at
+    0.025 ms (see docs/ROUND_NOTES.md round-2 methodology).  Fetching a
+    value from the LAST result forces execution of it and, the device queue
+    being FIFO, of everything enqueued before it.  One fetch costs a tunnel
+    round-trip (~40 ms here), so timed loops should amortise it over >=100
+    reps.  This is THE single home of that workaround — benches must call
+    this, not hand-roll ``block_until_ready``.
+    """
+    leaf = jax.tree.leaves(tree)[0]
+    return float(leaf[(0,) * leaf.ndim])
+
+
+def time_amortized(f, *args, reps: int = 100) -> float:
+    """Milliseconds per call of ``f(*args)``: one warmup call, ``reps`` timed
+    calls, closed by a :func:`fetch_barrier` on the final result so the whole
+    burst is actually executed (not just dispatched)."""
+    fetch_barrier(f(*args))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        r = f(*args)
+    fetch_barrier(r)
+    return (time.perf_counter() - t0) / reps * 1e3

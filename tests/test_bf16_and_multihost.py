@@ -50,3 +50,48 @@ def test_global_batch_from_local(rng):
     assert arr.shape == (8, 16, 8)  # single process: global == local
     np.testing.assert_allclose(np.asarray(arr), local["mix"])
     assert len(arr.sharding.device_set) == 8
+
+
+def test_global_batch_from_local_pad_to(rng):
+    """pad_to zero-pads local rows to a fixed target and attaches the 0/1
+    weight vector (drop-free remainder policy for multi-host batches)."""
+    mesh = mesh_lib.make_mesh()
+    local = {"mix": rng.random((5, 16, 8)).astype(np.float32)}
+    out = multihost.global_batch_from_local(mesh, local, pad_to=8)
+    assert out["mix"].shape == (8, 16, 8)
+    np.testing.assert_allclose(np.asarray(out["mix"])[:5], local["mix"])
+    np.testing.assert_allclose(np.asarray(out["mix"])[5:], 0.0)
+    np.testing.assert_allclose(np.asarray(out["weight"]),
+                               [1, 1, 1, 1, 1, 0, 0, 0])
+
+    # pad_to must respect the host's device quota
+    import pytest
+    with pytest.raises(ValueError):
+        multihost.global_batch_from_local(mesh, local, pad_to=9)
+    with pytest.raises(ValueError):
+        multihost.global_batch_from_local(
+            mesh, {"mix": local["mix"][:3]}, pad_to=2)  # rows > pad_to
+
+
+def test_global_batch_from_global_matches_shard_batch(rng):
+    """The multi-host validation distributor is bit-identical to the
+    single-host shard_batch path: same padding, same weights, and the eval
+    step computes the same global loss on either placement."""
+    from svs_tpu.train.step import make_eval_step
+
+    mesh = mesh_lib.make_mesh()
+    cfg = SVSConfig(input_len=64, dropout_rate=0.0)
+    state = create_train_state(jax.random.key(0), cfg, make_optimizer(cfg))
+
+    batch = {k: rng.random((5, 512, 64)).astype(np.float32)
+             for k in ("mix", "voc", "mix_angle", "voc_angle")}
+    via_global = multihost.global_batch_from_global(mesh, batch)
+    via_shard = mesh_lib.shard_batch(mesh, batch)
+    for k in via_shard:
+        np.testing.assert_array_equal(np.asarray(via_global[k]),
+                                      np.asarray(via_shard[k]))
+
+    eval_step = make_eval_step(cfg)
+    a = float(eval_step(state, via_global)["total"])
+    b = float(eval_step(state, via_shard)["total"])
+    assert a == b

@@ -162,3 +162,42 @@ def test_two_process_fit_lockstep(tmp_path):
     assert all(m["steps"] == 2 for m in metrics)
     log = open(str(tmp_path / "LOG" / "log_mp.txt")).read().splitlines()
     assert sum(1 for l in log if l.startswith("Val ")) == 2
+
+
+def test_two_process_fit_remainder_async(tmp_path):
+    """The hardened multi-host paths: a batch size whose global total does
+    NOT divide the device count (5 -> local 3/host, padded to 4 with
+    zero-weight rows), async checkpointing (the AsyncSaver snapshot must be
+    host-local — a global jnp.copy from only the primary would skew the
+    controllers), and unsharded global validation (identical Val lines to a
+    single-host run semantics-wise; both hosts stay in lockstep)."""
+    train_dir = str(tmp_path / "train")
+    _make_spec_dataset(train_dir, n_songs=3)
+    script = _PREAMBLE.format(port=_free_port()) + textwrap.dedent("""
+    from svs_tpu.parallel import mesh as mesh_lib
+    from svs_tpu.train.loop import TrainOptions, fit
+    from svs_tpu.utils.config import SVSConfig
+
+    mesh = mesh_lib.make_mesh()
+    state = fit(TrainOptions(
+        train_folder={train_dir!r}, valid_folder={train_dir!r},
+        label="mr", epoch=2, batch_size=5, val_interval=1,
+        ckpt_dir="CKPT", log_dir="LOG", async_save=True,
+        load_path="none", progress=False, mesh=mesh,
+    ), SVSConfig(samples_per_song=2, input_len=64, dropout_rate=0.0))
+    print(f"DONE pid={{pid}} step={{int(state.step)}}")
+    """.format(train_dir=train_dir))
+    # longer budget: this variant compiles the WEIGHTED train+eval graphs
+    # (zero-weight padded rows) in both subprocesses
+    outs = _run_pair(script, tmp_path, timeout=900)
+
+    steps = sorted(line for out in outs for line in out.splitlines()
+                   if line.startswith("DONE"))
+    assert len(steps) == 2
+    assert steps[0].split("step=")[1] == steps[1].split("step=")[1]
+
+    assert os.path.exists(str(tmp_path / "CKPT" / "svs_mr.ckpt"))
+    log = open(str(tmp_path / "LOG" / "log_mr.txt")).read().splitlines()
+    val_lines = [l for l in log if l.startswith("Val ")]
+    assert len(val_lines) == 2
+    assert all(np.isfinite(float(l.split()[1])) for l in val_lines)
