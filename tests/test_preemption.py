@@ -60,12 +60,16 @@ def test_sigterm_saves_resumable_checkpoint(tmp_path):
             raise AssertionError("training never produced metrics")
         time.sleep(2.0)
         proc.send_signal(signal.SIGTERM)
-        proc.wait(timeout=120)
+        # generous: the loop finishes its in-flight step and serialises the
+        # full checkpoint before exiting, which under a loaded machine (the
+        # full suite plus background jobs) has been seen to exceed 120 s
+        proc.wait(timeout=420)
     finally:
         if proc.poll() is None:
             proc.kill()
 
-    assert proc.returncode == 143
+    out = proc.stdout.read()
+    assert proc.returncode == 143, f"exit={proc.returncode}\n{out}"
     path = os.path.join(ckpt_dir, "svs_pre.ckpt")
     assert os.path.exists(path)
 
