@@ -146,7 +146,12 @@ def make_handler(service: SeparationService,
                 return self._json(404, {"error": "unknown path"})
             q = parse_qs(parsed.query)
             vocal_solo = q.get("vocal_solo", ["1"])[0] != "0"
-            mode = q.get("mode", ["segments"])[0]
+            # default 'overlap': crossfaded half-overlapping patches measure
+            # ~0.12 dB better SDR than the reference's seam-prone disjoint
+            # segments at equal device cost (docs/ROUND_NOTES round 1); the
+            # batch CLI (svs-inference) keeps 'segments' for reference
+            # output parity — a server has no reference counterpart to match
+            mode = q.get("mode", ["overlap"])[0]
             if mode not in ("segments", "whole", "overlap"):
                 return self._json(400, {"error": f"unknown mode {mode!r}"})
             cl = self.headers.get("Content-Length")
