@@ -12,18 +12,34 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--port", type=int, default=8571)
     p.add_argument("--preset", type=str, default="default")
+    p.add_argument("--dtype", type=str, default=None,
+                   choices=[None, "float32", "bfloat16"],
+                   help="conv compute dtype (bfloat16 halves activation "
+                        "traffic; masks agree with f32 to <0.05)")
+    p.add_argument("--max_batch", type=int, default=8,
+                   help="max requests coalesced into one pipelined "
+                        "device call per queue drain")
+    p.add_argument("--max_body_mb", type=int, default=256,
+                   help="reject request bodies above this size (413)")
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    import dataclasses
+
     from svs_tpu.cli.infer_cli import load_model
     from svs_tpu.serve.server import serve
     from svs_tpu.utils.config import get_config
 
+    cfg = get_config(args.preset)
+    if args.dtype:
+        cfg = dataclasses.replace(cfg, compute_dtype=args.dtype)
     params, bn_state = load_model(args.model_path)
-    httpd = serve(params, bn_state, get_config(args.preset),
-                  host=args.host, port=args.port)
+    httpd = serve(params, bn_state, cfg,
+                  host=args.host, port=args.port,
+                  max_body_bytes=args.max_body_mb << 20,
+                  max_batch=args.max_batch)
     print(f"serving on http://{args.host}:{args.port} "
           "(POST /separate, GET /healthz)")
     try:
