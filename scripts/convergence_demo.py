@@ -85,6 +85,12 @@ def main():
                      win_size=cfg.window_size, hop_size=cfg.hop_size, sr=sr)
     print("prep done", flush=True)
 
+    # fit() appends to the label's log; a reused workdir would prepend a
+    # previous run's losses to the trajectory parsed below
+    stale_log = os.path.join(work, "LOG", "log_demo.txt")
+    if os.path.exists(stale_log):
+        os.remove(stale_log)
+
     t0 = time.perf_counter()
     state = fit(TrainOptions(
         train_folder=os.path.join(work, "spec", "train"),

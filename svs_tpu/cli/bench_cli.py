@@ -39,7 +39,9 @@ def _dp_smoke() -> int:
 
     ``__graft_entry__`` lives at the repo root (not in the installed
     package), so the child runs with cwd pinned there — ``svs-bench
-    --dp-smoke`` works from any directory."""
+    --dp-smoke`` works from any directory of a source checkout.  A
+    site-packages install has no repo root; that is reported as a clear
+    error rather than a confusing child ModuleNotFoundError."""
     import subprocess
     import sys
     import time
@@ -48,6 +50,13 @@ def _dp_smoke() -> int:
 
     repo_root = os.path.dirname(os.path.dirname(
         os.path.abspath(svs_tpu.__file__)))
+    if not os.path.exists(os.path.join(repo_root, "__graft_entry__.py")):
+        print(json.dumps({
+            "metric": "dp_smoke", "ok": False, "devices": 8,
+            "detail": f"no __graft_entry__.py next to the package "
+                      f"({repo_root}); --dp-smoke needs a source checkout",
+        }))
+        return 1
     t0 = time.perf_counter()
     try:
         proc = subprocess.run(

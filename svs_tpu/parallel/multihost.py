@@ -75,7 +75,8 @@ def global_batch_from_local(mesh: Mesh, batch: Dict[str, np.ndarray],
 
 
 def global_batch_from_global(mesh: Mesh, batch: Dict[str, np.ndarray],
-                             axis_name: str = "data"):
+                             axis_name: str = "data",
+                             pad_rows_to: int | None = None):
     """Distribute a batch that EVERY host holds in full (same values, same
     order) into one globally-sharded jax.Array per key.
 
@@ -87,11 +88,19 @@ def global_batch_from_global(mesh: Mesh, batch: Dict[str, np.ndarray],
     vector (``mesh.shard_batch`` policy), then distributed with
     ``jax.make_array_from_callback`` so each host supplies exactly its
     addressable shards, independent of device order in the mesh.
+
+    ``pad_rows_to``: fixed global row target (rounded up to the device
+    count here) — pass the full batch size so a remainder batch keeps the
+    SAME global shape as full batches and the eval program compiles once
+    (static-shapes convention; remote compiles cost 20s-10min per
+    signature).  Zero-weight padding makes the weighted batch mean equal
+    to the unpadded batch's regardless of how far it pads.
     """
     n_dev = int(mesh.shape[axis_name])
     batch = {k: np.asarray(v) for k, v in batch.items()}
     rows = next(iter(batch.values())).shape[0]
-    padded = -(-rows // n_dev) * n_dev
+    target = max(rows, pad_rows_to or 0)
+    padded = -(-target // n_dev) * n_dev
     weight = batch.pop("weight", np.ones((rows,), np.float32))
     if padded != rows:
         batch = {k: np.concatenate(

@@ -144,7 +144,7 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
                 put = lambda b: multihost.global_batch_from_local(  # noqa: E731
                     opts.mesh, b, pad_to=pad_to)
                 put_val = lambda b: multihost.global_batch_from_global(  # noqa: E731
-                    opts.mesh, b)
+                    opts.mesh, b, pad_rows_to=opts.batch_size)
             else:
                 put = put_val = \
                     lambda b: mesh_lib.shard_batch(opts.mesh, b)  # noqa: E731
@@ -252,8 +252,15 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
                 val_losses = []
                 # full global batch size: every host iterates the same
                 # sequence (see the sharding note above), so this loop is
-                # identical math on 1 host, N devices, or N hosts
-                for batch in valid_ds.batches(opts.batch_size, shuffle=False):
+                # identical math on 1 host, N devices, or N hosts.  The
+                # crop seed is FIXED (not per-epoch): every host sees the
+                # same validation patches (the multi-host precondition) and
+                # val losses are comparable across epochs and reruns.
+                # Intentional divergence from the reference, whose val-set
+                # crops are unseeded (train.py:119-126) and so re-rolled
+                # every validation pass.
+                for batch in valid_ds.batches(opts.batch_size, shuffle=False,
+                                              seed=opts.seed):
                     aux = eval_step(state, put_val(batch))
                     val_losses.append(float(aux["total"]))
                 # the eval loss is a GLOBAL mean under the mesh sharding, so

@@ -33,8 +33,6 @@ def test_device_peak_flops_longest_prefix():
             self.device_kind = kind
 
     def peak_for(kind):
-        with mock.patch.object(bm, "jax", create=True):
-            pass  # _device_peak_flops imports jax internally; patch devices
         import jax as _jax
         with mock.patch.object(_jax, "devices",
                                lambda *a, **k: [_Dev(kind)]):

@@ -95,3 +95,15 @@ def test_global_batch_from_global_matches_shard_batch(rng):
     a = float(eval_step(state, via_global)["total"])
     b = float(eval_step(state, via_shard)["total"])
     assert a == b
+
+
+def test_global_batch_from_global_pad_rows_to(rng):
+    """pad_rows_to keeps remainder batches at the full-batch global shape
+    (one eval jit signature) with zero-weight padding."""
+    mesh = mesh_lib.make_mesh()
+    batch = {"mix": rng.random((5, 16, 8)).astype(np.float32)}
+    out = multihost.global_batch_from_global(mesh, batch, pad_rows_to=32)
+    assert out["mix"].shape == (32, 16, 8)
+    w = np.asarray(out["weight"])
+    np.testing.assert_allclose(w[:5], 1.0)
+    np.testing.assert_allclose(w[5:], 0.0)
