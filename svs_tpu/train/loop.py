@@ -146,8 +146,13 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
                 put_val = lambda b: multihost.global_batch_from_global(  # noqa: E731
                     opts.mesh, b, pad_rows_to=opts.batch_size)
             else:
-                put = put_val = \
-                    lambda b: mesh_lib.shard_batch(opts.mesh, b)  # noqa: E731
+                put = lambda b: mesh_lib.shard_batch(opts.mesh, b)  # noqa: E731
+                # same distributor as multi-host validation (proven equal to
+                # shard_batch, tests/test_bf16_and_multihost.py): the fixed
+                # pad_rows_to keeps remainder val batches at the full-batch
+                # shape, so eval compiles ONE signature
+                put_val = lambda b: multihost.global_batch_from_global(  # noqa: E731
+                    opts.mesh, b, pad_rows_to=opts.batch_size)
     else:
         train_step = make_train_step(cfg, optimizer)
 
