@@ -8,7 +8,7 @@ north-star bar at 50x realtime.
 from __future__ import annotations
 
 import time
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 
