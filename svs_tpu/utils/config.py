@@ -66,9 +66,12 @@ class SVSConfig:
     # the model's fwd+bwd time on v5e because the MXU runs nearly empty at
     # 1-channel depth
     packed_edge_convs: bool = False
-    # rematerialise encoder/decoder levels in the backward pass (trade FLOPs
-    # for activation memory — for long patches like fine_tune's 1536 frames
-    # or big batches)
+    # rematerialise encoder/decoder levels in the backward pass.  Measured
+    # on v5e at the fine_tune geometry (B=4 x 512 x 1536, bf16): temp HBM
+    # 1977 -> 1035 MB AND step 37.3 -> 35.1 ms — recompute beats activation
+    # spill on this bandwidth-bound model, so turn this ON for long patches
+    # or big batches; off by default only to keep the parity-test gradient
+    # path byte-stable
     remat: bool = False
 
     @property
