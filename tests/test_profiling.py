@@ -57,3 +57,18 @@ def test_annotate_noop_smoke():
 def test_device_memory_stats_dict():
     s = profiling.device_memory_stats()
     assert isinstance(s, dict)
+
+
+def test_fetch_barrier_and_time_amortized():
+    """The single-home timing barrier: fetch_barrier returns a float drawn
+    from the tree's first leaf; time_amortized times a callable in ms."""
+    import jax.numpy as jnp
+
+    from svs_tpu.utils.profiling import fetch_barrier, time_amortized
+
+    v = fetch_barrier({"a": jnp.arange(6.0).reshape(2, 3) + 7.0})
+    assert isinstance(v, float) and v == 7.0
+    assert fetch_barrier(jnp.float32(3.5)) == 3.5
+
+    ms = time_amortized(lambda x: x * 2, jnp.ones((4,)), reps=5)
+    assert isinstance(ms, float) and ms >= 0.0
