@@ -80,7 +80,6 @@ def _dp_smoke() -> int:
 
 
 def _frontend_bench(secs: float) -> int:
-    import time
     import numpy as np
     import jax
     import jax.numpy as jnp

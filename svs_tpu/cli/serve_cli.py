@@ -21,6 +21,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "device call per queue drain")
     p.add_argument("--max_body_mb", type=int, default=256,
                    help="reject request bodies above this size (413)")
+    p.add_argument("--max_queue", type=int, default=32,
+                   help="max pending requests; beyond this new requests "
+                        "fast-fail with 503 + Retry-After")
+    p.add_argument("--request_timeout", type=float, default=300.0,
+                   help="per-request deadline in seconds (504 on expiry)")
     return p
 
 
@@ -39,7 +44,9 @@ def main(argv=None) -> int:
     httpd = serve(params, bn_state, cfg,
                   host=args.host, port=args.port,
                   max_body_bytes=args.max_body_mb << 20,
-                  max_batch=args.max_batch)
+                  max_batch=args.max_batch,
+                  max_queue=args.max_queue,
+                  request_timeout=args.request_timeout)
     print(f"serving on http://{args.host}:{args.port} "
           "(POST /separate, GET /healthz)")
     try:

@@ -164,8 +164,11 @@ def _stft_magphase_kernel(*refs, k_chunks):
         im += jnp.dot(zj, sin_ref[j], preferred_element_type=jnp.float32,
                       precision=jax.lax.Precision.HIGHEST)
     mag = jnp.sqrt(re * re + im * im)
-    # librosa.magphase zero-bin contract (reference data.py:80): phase = 1+0j
-    nz = mag > 0.0
+    # librosa.magphase zero-bin contract (reference data.py:80): phase = 1+0j.
+    # The threshold (not > 0.0) keeps subnormal magnitudes in the 1+0j branch:
+    # 1/mag overflows to inf below ~3e-39, which would put inf/NaN into the
+    # phase planes where the XLA exp(1j*angle) path stays finite (ADVICE r2)
+    nz = mag > 1e-30
     inv = jnp.where(nz, 1.0 / jnp.where(nz, mag, 1.0), 0.0)
     mag_ref[:] = mag
     pre_ref[:] = jnp.where(nz, re * inv, 1.0)

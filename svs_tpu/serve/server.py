@@ -20,6 +20,13 @@ Design:
 Endpoints:
   POST /separate[?vocal_solo=0][&mode=whole]   body: WAV bytes -> WAV bytes
   GET  /healthz                                -> {"status": "ok", ...}
+
+API-change note (since round 2): the default ``mode`` for POST /separate is
+``overlap`` (crossfaded half-overlapping windows, ~0.12 dB better SDR), NOT
+the reference-parity ``segments`` — clients that omit ``?mode=`` get overlap
+output.  Pass ``?mode=segments`` explicitly for reference-identical decoding;
+``/healthz`` reports the effective ``default_mode`` so deployments can verify
+which contract they are running.
 """
 
 from __future__ import annotations
@@ -38,6 +45,15 @@ from svs_tpu.infer import separate
 from svs_tpu.utils.config import SVSConfig
 
 
+class ServiceOverloaded(RuntimeError):
+    """The request queue is full — the caller should retry later (HTTP 503)."""
+
+
+class ServiceTimeout(RuntimeError):
+    """No result within the per-request deadline — e.g. a wedged device call
+    (HTTP 504).  The handler thread is released instead of blocking forever."""
+
+
 class SeparationService:
     """Owns the model and the single device-worker thread.
 
@@ -46,25 +62,39 @@ class SeparationService:
     group through the pipelined streaming path in one go — request i+1's
     host->device transfer overlaps request i's compute and copy-back, so a
     burst of N requests costs ~max(H2D, compute, D2H) each instead of their
-    sum (BASELINE config: multi-song batched streaming)."""
+    sum (BASELINE config: multi-song batched streaming).
+
+    Admission control: the queue is BOUNDED (``max_queue`` pending requests,
+    each up to a full song in memory) — a sustained burst above device
+    throughput fast-fails with :class:`ServiceOverloaded` instead of growing
+    the queue until OOM; and every request carries a deadline
+    (``request_timeout`` seconds) so a hung device call raises
+    :class:`ServiceTimeout` in the waiting thread instead of wedging every
+    handler forever."""
 
     def __init__(self, params, bn_state, cfg: Optional[SVSConfig] = None,
-                 max_batch: int = 8):
+                 max_batch: int = 8, max_queue: int = 32,
+                 request_timeout: float = 300.0):
         self.params = params
         self.bn_state = bn_state
         self.cfg = cfg or SVSConfig()
         self.max_batch = max_batch
-        self._q: queue.Queue = queue.Queue()
+        self.max_queue = max_queue
+        self.request_timeout = request_timeout
+        self._q: queue.Queue = queue.Queue(maxsize=max_queue)
+        self._stop = threading.Event()
         self._worker = threading.Thread(target=self._drain, daemon=True)
         self._worker.start()
         self.requests_served = 0
+        self.requests_rejected = 0
+        self.requests_timed_out = 0
         self.batches_run = 0
         self.max_coalesced = 0
 
     def _drain(self):
         while True:
             item = self._q.get()
-            if item is None:
+            if item is None or self._stop.is_set():
                 return
             items = [item]
             while len(items) < self.max_batch:
@@ -73,7 +103,13 @@ class SeparationService:
                 except queue.Empty:
                     break
                 if nxt is None:  # keep the shutdown signal
-                    self._q.put(None)
+                    try:
+                        self._q.put_nowait(None)
+                    except queue.Full:
+                        # racing clients refilled the queue; the _stop flag
+                        # (set before the sentinel) still ends the loop at
+                        # the next get()
+                        pass
                     break
                 items.append(nxt)
 
@@ -95,18 +131,44 @@ class SeparationService:
             self.max_coalesced = max(self.max_coalesced, len(items))
 
     def separate(self, y: np.ndarray, vocal_solo: bool = True,
-                 mode: str = "segments") -> np.ndarray:
+                 mode: str = "segments",
+                 timeout: Optional[float] = None) -> np.ndarray:
         done: queue.Queue = queue.Queue(1)
-        self._q.put((y, vocal_solo, mode, done))
-        status, payload = done.get()
+        try:
+            self._q.put_nowait((y, vocal_solo, mode, done))
+        except queue.Full:
+            self.requests_rejected += 1
+            raise ServiceOverloaded(
+                f"request queue full ({self.max_queue} pending)")
+        try:
+            status, payload = done.get(
+                timeout=self.request_timeout if timeout is None else timeout)
+        except queue.Empty:
+            # the worker may still deliver later; its put() into the
+            # abandoned size-1 `done` queue succeeds and is simply dropped
+            self.requests_timed_out += 1
+            raise ServiceTimeout(
+                f"no result within {timeout or self.request_timeout:.0f}s")
         if status != "ok":
             raise RuntimeError(payload)
         self.requests_served += 1
         return payload
 
+    def pending(self) -> int:
+        return self._q.qsize()
+
     def shutdown(self):
+        self._stop.set()
         self._q.put(None)
 
+
+# default decode mode for POST /separate when ?mode= is omitted: 'overlap'
+# (crossfaded half-overlapping patches) measures ~0.12 dB better SDR than the
+# reference's seam-prone disjoint segments at equal device cost
+# (docs/ROUND_NOTES round 1); the batch CLI (svs-inference) keeps 'segments'
+# for reference output parity — a server has no reference counterpart to
+# match.  See the module docstring's API-change note.
+DEFAULT_MODE = "overlap"
 
 # request bodies above this are rejected with 413 (a 10-minute stereo
 # float32 WAV at 44.1 kHz is ~211 MB; the cap is a DoS guard, not a format
@@ -122,11 +184,13 @@ def make_handler(service: SeparationService,
         def log_message(self, *a):  # quiet
             pass
 
-        def _json(self, code: int, obj):
+        def _json(self, code: int, obj, headers=()):
             body = json.dumps(obj).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            for k, v in headers:
+                self.send_header(k, v)
             self.end_headers()
             self.wfile.write(body)
 
@@ -134,7 +198,12 @@ def make_handler(service: SeparationService,
             if urlparse(self.path).path == "/healthz":
                 self._json(200, {"status": "ok",
                                  "sample_rate": cfg.sample_rate,
+                                 "default_mode": DEFAULT_MODE,
                                  "requests_served": service.requests_served,
+                                 "requests_rejected": service.requests_rejected,
+                                 "requests_timed_out":
+                                     service.requests_timed_out,
+                                 "pending": service.pending(),
                                  "batches_run": service.batches_run,
                                  "max_coalesced": service.max_coalesced})
             else:
@@ -146,12 +215,7 @@ def make_handler(service: SeparationService,
                 return self._json(404, {"error": "unknown path"})
             q = parse_qs(parsed.query)
             vocal_solo = q.get("vocal_solo", ["1"])[0] != "0"
-            # default 'overlap': crossfaded half-overlapping patches measure
-            # ~0.12 dB better SDR than the reference's seam-prone disjoint
-            # segments at equal device cost (docs/ROUND_NOTES round 1); the
-            # batch CLI (svs-inference) keeps 'segments' for reference
-            # output parity — a server has no reference counterpart to match
-            mode = q.get("mode", ["overlap"])[0]
+            mode = q.get("mode", [DEFAULT_MODE])[0]
             if mode not in ("segments", "whole", "overlap"):
                 return self._json(400, {"error": f"unknown mode {mode!r}"})
             cl = self.headers.get("Content-Length")
@@ -183,6 +247,14 @@ def make_handler(service: SeparationService,
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
+            except ServiceOverloaded as e:
+                # back off roughly one drain's worth; the queue is bounded so
+                # pending/max_batch is a sane unit of wait
+                retry = max(1, service.pending() // max(service.max_batch, 1))
+                self._json(503, {"error": str(e)},
+                           headers=[("Retry-After", str(retry))])
+            except ServiceTimeout as e:
+                self._json(504, {"error": str(e)})
             except Exception as e:
                 self._json(400, {"error": str(e)})
 
@@ -191,9 +263,12 @@ def make_handler(service: SeparationService,
 
 def serve(params, bn_state, cfg: Optional[SVSConfig] = None,
           host: str = "127.0.0.1", port: int = 8571,
-          max_body_bytes: int = DEFAULT_MAX_BODY, max_batch: int = 8):
+          max_body_bytes: int = DEFAULT_MAX_BODY, max_batch: int = 8,
+          max_queue: int = 32, request_timeout: float = 300.0):
     """Blocking entry: start the service (returns the server for tests)."""
-    service = SeparationService(params, bn_state, cfg, max_batch=max_batch)
+    service = SeparationService(params, bn_state, cfg, max_batch=max_batch,
+                                max_queue=max_queue,
+                                request_timeout=request_timeout)
     httpd = ThreadingHTTPServer((host, port),
                                 make_handler(service, max_body_bytes))
     httpd.service = service  # type: ignore[attr-defined]

@@ -197,3 +197,140 @@ def test_burst_coalesced_matches_serial(server_httpd, rng):
         np.testing.assert_array_equal(got, want)
     # the burst must actually have been coalesced (>1 request per drain)
     assert service.max_coalesced > 1
+
+
+@pytest.fixture()
+def stalled_service(monkeypatch):
+    """A service whose device worker is wedged (blocks until released) —
+    deterministic setup for overload/timeout behaviour."""
+    from svs_tpu.serve import server as server_mod
+
+    release = threading.Event()
+
+    def stalled_stream(*a, **kw):
+        release.wait(timeout=60)
+        songs = a[2]
+        return [np.zeros_like(y) for y in songs]
+
+    monkeypatch.setattr(server_mod.separate, "separate_wav_stream",
+                        stalled_stream)
+    params, bn_state = unet.init(jax.random.key(0))
+    service = server_mod.SeparationService(
+        params, bn_state, SVSConfig(), max_queue=2, request_timeout=0.3)
+    yield service, release
+    release.set()
+    service.shutdown()
+
+
+def test_overload_fast_fails_not_oom(stalled_service, rng):
+    """A burst above device throughput hits the bounded queue: the first
+    request occupies the worker, max_queue wait, and every further request
+    raises ServiceOverloaded IMMEDIATELY (no unbounded growth, no hang)."""
+    from svs_tpu.serve.server import ServiceOverloaded
+
+    service, release = stalled_service
+    y = (rng.standard_normal(2048) * 0.1).astype(np.float32)
+
+    def occupy():
+        try:
+            service.separate(y)
+        except Exception:
+            pass  # these time out by design (worker wedged)
+
+    occupiers = [threading.Thread(target=occupy)
+                 for _ in range(3)]  # 1 in the worker + 2 queued (= max_queue)
+    for t in occupiers:
+        t.start()
+    # wait until the worker has picked up the first request and the queue
+    # holds the other two (timed-out entries stay queued until drained)
+    import time
+    for _ in range(200):
+        if service.pending() == 2:
+            break
+        time.sleep(0.02)
+    assert service.pending() == 2
+
+    t0 = time.perf_counter()
+    with pytest.raises(ServiceOverloaded):
+        service.separate(y)
+    assert time.perf_counter() - t0 < 0.1  # fast-fail, not queue-and-wait
+    assert service.requests_rejected == 1
+    release.set()
+    for t in occupiers:
+        t.join(timeout=30)
+
+
+def test_request_timeout_releases_handler(stalled_service, rng):
+    """A hung device call raises ServiceTimeout at the deadline instead of
+    blocking the caller forever."""
+    from svs_tpu.serve.server import ServiceTimeout
+
+    service, release = stalled_service
+    y = (rng.standard_normal(2048) * 0.1).astype(np.float32)
+    import time
+    t0 = time.perf_counter()
+    with pytest.raises(ServiceTimeout):
+        service.separate(y)  # worker wedged; request_timeout=0.3
+    dt = time.perf_counter() - t0
+    assert 0.2 < dt < 5.0
+    assert service.requests_timed_out == 1
+    release.set()
+
+
+def test_http_overload_503_with_retry_after(monkeypatch, rng):
+    """End-to-end over the socket: overflowing the queue returns 503 with a
+    Retry-After header; a timed-out request returns 504."""
+    from svs_tpu.serve import server as server_mod
+
+    release = threading.Event()
+
+    def stalled_stream(*a, **kw):
+        release.wait(timeout=60)
+        return [np.zeros_like(y) for y in a[2]]
+
+    monkeypatch.setattr(server_mod.separate, "separate_wav_stream",
+                        stalled_stream)
+    params, bn_state = unet.init(jax.random.key(0))
+    httpd = server_mod.serve(params, bn_state, SVSConfig(),
+                             host="127.0.0.1", port=0,
+                             max_queue=1, request_timeout=1.0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{httpd.server_address[1]}"
+        y = (rng.standard_normal(2048) * 0.1).astype(np.float32)
+        body = _wav_bytes(y, 8192)
+
+        codes = []
+
+        def post(i):
+            req = urllib.request.Request(url + "/separate", data=body,
+                                         method="POST")
+            try:
+                with urllib.request.urlopen(req, timeout=30) as r:
+                    codes.append((i, r.status, None))
+            except urllib.error.HTTPError as e:
+                codes.append((i, e.code, e.headers.get("Retry-After")))
+
+        # enough posts to fill worker + queue(1) + overflow
+        import time
+        threads = [threading.Thread(target=post, args=(i,)) for i in range(4)]
+        for th in threads:
+            th.start()
+            time.sleep(0.1)  # deterministic arrival order
+        for th in threads:
+            th.join(timeout=60)
+
+        got = {c for _, c, _ in codes}
+        assert 503 in got  # overflow fast-failed
+        assert 504 in got  # worker wedged past the 1s deadline
+        retry_headers = [r for _, c, r in codes if c == 503]
+        assert all(r is not None for r in retry_headers)
+        # healthz reflects the rejections
+        with urllib.request.urlopen(url + "/healthz") as r:
+            h = json.loads(r.read())
+        assert h["requests_rejected"] >= 1
+    finally:
+        release.set()
+        httpd.shutdown()
+        httpd.service.shutdown()
