@@ -9,7 +9,7 @@ a plain device_put, so the same training loop runs everywhere.
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Any, Dict, List, Tuple
 
 import jax
 import numpy as np
@@ -115,3 +115,118 @@ def global_batch_from_global(mesh: Mesh, batch: Dict[str, np.ndarray],
                                         lambda idx, v=v: v[idx])
         for k, v in batch.items()
     }
+
+
+# --- cross-host coordination (SURVEY.md §5 failure detection/recovery) -----
+#
+# The reference's recovery story is single-process restart-from-checkpoint
+# (reference train.py:216-237).  Generalised to a multi-controller job, two
+# silent-desync hazards appear that these helpers close:
+#  1. resume state is read per-host from local disk — a host with a missing
+#     or stale checkpoint would silently start at a different epoch and hang
+#     the job at its next collective (different loop trip counts);
+#  2. SIGTERM delivered to a subset of hosts would make those exit mid-epoch
+#     while the rest block forever in the next collective.
+
+
+def any_flag(flag: bool) -> bool:
+    """Global OR of a per-host bool — the collectively-coordinated preemption
+    check: every host calls this at the same loop point (same call count on
+    all hosts!), and ALL of them see True as soon as ANY host was signalled,
+    so they save/exit in lockstep instead of skewing.  Single-process: the
+    local flag is already the truth."""
+    if jax.process_count() == 1:
+        return bool(flag)
+    from jax.experimental import multihost_utils
+
+    flags = multihost_utils.process_allgather(
+        np.asarray([bool(flag)], np.int32))
+    return bool(np.asarray(flags).any())
+
+
+def assert_scalar_agreement(value: float, what: str, tol: float = 0.0) -> None:
+    """Loud cross-host check that a host-computed scalar (e.g. the validation
+    loss driving the best-checkpoint decision) is identical on every host.
+
+    The design guarantees bit-identical values (the eval loss is a global
+    collective mean fetched from replicated device state), so a divergence
+    means a real bug (non-deterministic reduction, wrong sharding) — fail
+    fast here rather than silently desync best-checkpoint decisions."""
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    vals = np.asarray(multihost_utils.process_allgather(
+        np.asarray([value], np.float64))).ravel()
+    spread = float(np.max(vals) - np.min(vals))
+    if not (spread <= tol) or not np.isfinite(vals).all():
+        raise RuntimeError(
+            f"cross-host disagreement on {what}: per-host values {vals.tolist()}"
+            f" (spread {spread:g} > tol {tol:g}) — hosts would desync")
+
+
+def _params_checksum(tree: Any) -> float:
+    """Cheap order-stable checksum of a pytree of arrays (f64 sum of sums)."""
+    return float(sum(float(np.sum(np.asarray(x, np.float64)))
+                     for x in jax.tree.leaves(tree)))
+
+
+def sync_resume(state, start_epoch: int, extras: Dict[str, Any],
+                ) -> Tuple[Any, int, Dict[str, Any]]:
+    """Make per-host checkpoint resume fail-safe across hosts.
+
+    Every host allgathers (start_epoch, params-checksum).  If all hosts
+    agree, resume proceeds as loaded.  If they disagree (a host missing the
+    checkpoint file resumed at epoch 0, or read a stale copy):
+      - when process 0 holds the newest epoch, its full train state + epoch
+        + extras are broadcast to every host (loud warning) — the job
+        continues correctly instead of hanging at the next collective;
+      - when some OTHER host is ahead of process 0, that's an unfixable
+        split-brain from process 0's view (we can only broadcast from 0):
+        raise loudly on every host.
+
+    Called before the state is device-replicated (host-local numpy/jax
+    arrays), so the broadcast moves each leaf once over DCN.
+    """
+    if jax.process_count() == 1:
+        return state, start_epoch, extras
+    from jax.experimental import multihost_utils
+
+    me = np.asarray([float(start_epoch),
+                     _params_checksum(state.params)], np.float64)
+    all_ = np.asarray(multihost_utils.process_allgather(me))
+    epochs, sums = all_[:, 0], all_[:, 1]
+    if (epochs == epochs[0]).all() and (sums == sums[0]).all():
+        return state, start_epoch, extras
+
+    if epochs.max() > epochs[0]:
+        raise RuntimeError(
+            "resume desync: process 0 resumed at epoch "
+            f"{int(epochs[0])} but another host is ahead "
+            f"(per-host epochs {epochs.astype(int).tolist()}); process 0 "
+            "cannot repair this — restore its checkpoint and restart")
+
+    print(f"[multihost] resume desync detected (per-host epochs "
+          f"{epochs.astype(int).tolist()}, checksums differ) — "
+          "broadcasting process 0's train state to all hosts")
+    # 1) fixed-size scalar header: epoch, best_val_loss, history length
+    hist = [float(x) for x in extras.get("loss_list_total", [])]
+    header = multihost_utils.broadcast_one_to_all(np.asarray(
+        [float(start_epoch),
+         float(extras.get("best_val_loss", 100.0)),
+         float(len(hist))], np.float64))
+    n_hist = int(header[2])
+    # 2) history padded to the broadcast length (shapes must match on all
+    #    hosts for broadcast_one_to_all)
+    hist_arr = np.zeros((n_hist,), np.float64)
+    hist_arr[:min(len(hist), n_hist)] = hist[:n_hist]
+    hist_arr = np.asarray(multihost_utils.broadcast_one_to_all(hist_arr))
+    # 3) the full train state (identical tree structure/shapes everywhere —
+    #    it's the same model; only the values differ)
+    state = jax.tree.map(
+        np.asarray,
+        multihost_utils.broadcast_one_to_all(
+            jax.tree.map(lambda x: np.asarray(x), state)))
+    extras = dict(extras, best_val_loss=float(header[1]),
+                  loss_list_total=[float(x) for x in hist_arr])
+    return state, int(header[0]), extras

