@@ -7,7 +7,11 @@ workflow), on synthetic multi-voice songs, and writes a JSON summary:
     async save + .pth export -> whole-song & segment-mode separation ->
     BSS-eval SDR/NSDR -> spectrogram diff figure
 
-Run:  python scripts/convergence_demo.py [workdir] [epochs]
+Run:  python scripts/convergence_demo.py [workdir] [epochs] [dtype] [remat]
+
+dtype: optional compute dtype ("float32" / "bfloat16") — used for the
+bf16-as-default A/B gate (VERDICT r2 next #2).  remat: "remat" to turn on
+backward-pass rematerialisation.
 
 The songs are constructed so separation is learnable but not trivial:
 vocals are vibrato'd harmonic stacks with onsets/offsets, accompaniment is
@@ -68,9 +72,15 @@ def make_split(root, n_songs, sr, secs, seed, pitches):
 
 
 def main():
+    import dataclasses
+
     work = sys.argv[1] if len(sys.argv) > 1 else "/tmp/convergence_demo"
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 300
     cfg = SVSConfig()
+    if len(sys.argv) > 3 and sys.argv[3]:
+        cfg = dataclasses.replace(cfg, compute_dtype=sys.argv[3])
+    if len(sys.argv) > 4 and sys.argv[4] == "remat":
+        cfg = dataclasses.replace(cfg, remat=True)
     sr = cfg.sample_rate
     os.makedirs(work, exist_ok=True)
 
@@ -116,6 +126,7 @@ def main():
                 train_losses.append(float(line.strip()))
 
     results = {"epochs": epochs, "steps": steps,
+               "compute_dtype": cfg.compute_dtype, "remat": cfg.remat,
                "train_wall_s": round(train_wall, 1),
                "steps_per_sec_incl_host": round(steps / train_wall, 1),
                "loss_first": train_losses[0], "loss_last": train_losses[-1],

@@ -21,6 +21,37 @@ def test_train_step_bench_fields():
         assert out["train_flops_per_step"] > 1e6
 
 
+def test_decode_device_bench_fields():
+    """Chip-resident decode bench runs and reports coherent fields (tiny
+    geometry on CPU; the driver measures the same fields on TPU)."""
+    from svs_tpu.utils.benchmark import decode_device_bench
+
+    cfg = dataclasses.replace(SVSConfig(), input_len=64)
+    out = decode_device_bench(cfg=cfg, secs=2.0, reps=2)
+    assert out["decode_device_ms_per_song"] > 0
+    assert out["decode_device_frames_per_sec"] > 0
+    # frames/s consistent with ms/song
+    n_frames = 1 + int(cfg.sample_rate * 2.0) // cfg.hop_size
+    want = n_frames / (out["decode_device_ms_per_song"] / 1e3)
+    np.testing.assert_allclose(out["decode_device_frames_per_sec"], want,
+                               rtol=0.01)
+
+
+def test_train_epoch_bench_fields():
+    """End-to-end epoch bench: real PatchDataset + host pipeline + step."""
+    from svs_tpu.utils.benchmark import train_epoch_bench
+
+    cfg = dataclasses.replace(SVSConfig(), input_len=64, samples_per_song=4)
+    out = train_epoch_bench(cfg, batch_size=4, n_songs=2, song_frames=150,
+                            epochs=1)
+    assert out["train_epoch_secs"] > 0
+    assert out["train_epoch_patches"] == 8  # 2 songs * 4 samples/song
+    # fields are rounded to 1 decimal, so allow the rounding slack
+    np.testing.assert_allclose(
+        out["train_patches_per_sec"],
+        out["train_epoch_patches"] / out["train_epoch_secs"], rtol=0.1)
+
+
 def test_device_peak_flops_longest_prefix():
     """MFU denominator matching is longest-prefix, independent of table
     order: 'TPU v5 lite' must never resolve to the 'TPU v5' (v5p) peak."""
