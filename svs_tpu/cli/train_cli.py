@@ -29,6 +29,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also write reference-loadable .pth checkpoints")
     p.add_argument("--dp", action="store_true",
                    help="data-parallel training over all visible devices")
+    p.add_argument("--cp", action="store_true",
+                   help="context-parallel training: the TIME axis of every "
+                        "patch is sharded over all visible devices with "
+                        "halo exchange (long patches, e.g. --preset "
+                        "fine_tune; needs input_len %% (64*devices) == 0)")
     p.add_argument("--ckpt_dir", type=str, default="CKPT")
     p.add_argument("--log_dir", type=str, default="LOG")
     p.add_argument("--samples_per_song", type=int, default=None,
@@ -68,10 +73,13 @@ def main(argv=None) -> int:
     if args.remat:
         cfg = dataclasses.replace(cfg, remat=True)
     mesh = None
-    if args.dp:
+    if args.dp and args.cp:
+        raise SystemExit("--dp and --cp are mutually exclusive")
+    if args.dp or args.cp:
         from svs_tpu.parallel import mesh as mesh_lib
         mesh = mesh_lib.make_mesh()
-        print(f"Data-parallel over {mesh.devices.size} devices")
+        kind = "Context(time)" if args.cp else "Data"
+        print(f"{kind}-parallel over {mesh.devices.size} devices")
 
     opts = TrainOptions(
         train_folder=args.train_folder,
@@ -88,6 +96,7 @@ def main(argv=None) -> int:
         save_every=args.save_every,
         async_save=args.async_save,
         mesh=mesh,
+        parallel="cp" if args.cp else "dp",
     )
     fit(opts, cfg)
     return 0

@@ -149,6 +149,19 @@ def stft_loss(
     into one call measures 23% SLOWER end-to-end because the zero-cotangent
     target half can't be pruned from the backward FFT of the stacked
     tensor."""
+    if impl == "pallas_fused":
+        # whole-resolution fusion: waveform -> SC/log-mag partial sums in
+        # one Pallas pass, no frame/magnitude planes in HBM
+        # (ops/pallas/fused_loss.py); x is the prediction, y the target
+        from svs_tpu.ops.pallas.fused_loss import stft_loss_fused
+
+        if x.ndim != 2:
+            x = x.reshape(-1, x.shape[-1])
+            y = y.reshape(-1, y.shape[-1])
+            if weight is not None:
+                raise ValueError("pallas_fused: weight needs (B, T) inputs")
+        return stft_loss_fused(x, y, n_fft, hop, win, weight=weight,
+                               w_sc=w_sc, w_log_mag=w_log_mag)
     mag = _MAG_IMPLS[impl]
     x_mag = mag(x, n_fft, hop, win)
     y_mag = mag(y, n_fft, hop, win)

@@ -59,12 +59,12 @@ def _bases(n_fft: int, hop: int, win: int, k: int, nbp: int):
             sin.reshape(k, hop, nbp).astype(bf16))
 
 
-def _geometry(t: int, n_fft: int, hop: int):
+def _geometry(t: int, n_fft: int, hop: int, tb: int = _TB):
     k = -(-n_fft // hop)
     t_padded = t + 2 * (n_fft // 2)  # reflect pad
     n_frames = 1 + (t_padded - n_fft) // hop
-    n_blocks = -(-n_frames // _TB)
-    rows = n_blocks * _TB
+    n_blocks = -(-n_frames // tb)
+    rows = n_blocks * tb
     n_bins = n_fft // 2 + 1
     nbp = -(-n_bins // 128) * 128
     return k, n_frames, n_blocks, rows, n_bins, nbp

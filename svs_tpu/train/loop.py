@@ -60,7 +60,12 @@ class TrainOptions:
     # device->host parameter fetch — raise this on slow links
     save_every: int = 1
     device_put: Optional[Callable] = None  # sharding hook (parallel.dp)
-    mesh: Optional[object] = None  # jax Mesh -> data-parallel training
+    mesh: Optional[object] = None  # jax Mesh -> distributed training
+    # with a mesh: "dp" shards the BATCH axis (default), "cp" shards the
+    # TIME axis of every patch with halo exchange (context parallelism for
+    # long patches, e.g. the fine_tune preset's 1536 frames; requires
+    # input_len % (64 * mesh size) == 0 — parallel/halo.py)
+    parallel: str = "dp"
 
 
 def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
@@ -138,7 +143,25 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
             state, start_epoch, extras)
 
     put = put_val = opts.device_put or (lambda b: b)
-    if opts.mesh is not None:
+    if opts.mesh is not None and opts.parallel == "cp":
+        # context parallelism: patch TIME axis sharded with halo exchange;
+        # batch stays whole, so the host pipeline and (whole-batch,
+        # single-program) validation are unchanged.  Multi-host CP would
+        # need a time-sharded input pipeline — not wired; DP covers
+        # multi-host (loud check below).
+        if pc > 1:
+            raise ValueError("parallel='cp' supports single-host meshes; "
+                             "use parallel='dp' for multi-host jobs")
+        from svs_tpu.parallel import dp, halo
+        train_step = halo.make_cp_train_step(opts.mesh, cfg, optimizer)
+        state = dp.replicate_state(state, opts.mesh)
+        if opts.device_put is None:
+            put = lambda b: halo.shard_batch_time(opts.mesh, b)  # noqa: E731
+            # eval: state is replicated, so the unsharded eval program on
+            # the default device is correct as-is (B is small at long
+            # patch lengths; no eval sharding needed)
+            put_val = lambda b: b  # noqa: E731
+    elif opts.mesh is not None:
         from svs_tpu.parallel import dp, mesh as mesh_lib, multihost
         train_step = dp.make_dp_train_step(opts.mesh, cfg, optimizer)
         state = dp.replicate_state(state, opts.mesh)
