@@ -76,7 +76,8 @@ def main():
 
     work = sys.argv[1] if len(sys.argv) > 1 else "/tmp/convergence_demo"
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 300
-    cfg = SVSConfig()
+    from svs_tpu.utils.config import get_config
+    cfg = get_config("default")  # the SHIPPED config (bf16 since round 3)
     if len(sys.argv) > 3 and sys.argv[3]:
         cfg = dataclasses.replace(cfg, compute_dtype=sys.argv[3])
     if len(sys.argv) > 4 and sys.argv[4] == "remat":

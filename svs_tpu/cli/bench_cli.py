@@ -129,9 +129,9 @@ def main(argv=None) -> int:
         import dataclasses
 
         from svs_tpu.utils.benchmark import train_step_bench
-        from svs_tpu.utils.config import SVSConfig
+        from svs_tpu.utils.config import get_config
 
-        cfg = SVSConfig()
+        cfg = get_config("default")  # the shipped config (bf16)
         if args.dtype:
             cfg = dataclasses.replace(cfg, compute_dtype=args.dtype)
         print(json.dumps(dict({"metric": "train_step"},

@@ -97,23 +97,31 @@ def _fwd_kernel(*refs, k, n_frames, n_bins, tb):
                             (tb, cos_ref.shape[-1]))
     valid = _valid_mask(i, tb, cos_ref.shape[-1], n_frames, n_bins)
     d = my - mx
-    diff_ref[0] = jnp.sum(valid * d * d, axis=0, keepdims=True)
-    ref_ref[0] = jnp.sum(valid * my * my, axis=0, keepdims=True)
-    log_ref[0] = jnp.sum(valid * jnp.abs(jnp.log(mx) - jnp.log(my)),
-                         axis=0, keepdims=True)
+    # the partials block spans ALL grid blocks (Mosaic needs the sublane
+    # dim to match the array; a (1,1,nbp) block is illegal) and stays
+    # VMEM-resident across the i loop — each step writes its own row
+    diff_ref[0, pl.dslice(i, 1)] = jnp.sum(valid * d * d, axis=0,
+                                           keepdims=True)
+    ref_ref[0, pl.dslice(i, 1)] = jnp.sum(valid * my * my, axis=0,
+                                          keepdims=True)
+    log_ref[0, pl.dslice(i, 1)] = jnp.sum(
+        valid * jnp.abs(jnp.log(mx) - jnp.log(my)), axis=0, keepdims=True)
 
 
 def _bwd_kernel(*refs, k, n_frames, n_bins, tb):
     zx_refs, zy_refs = refs[:k], refs[k:2 * k]
     cos_ref, sin_ref, g_ref = refs[2 * k:2 * k + 3]
     plane_refs = refs[2 * k + 3:]
+    bb = pl.program_id(0)
     i = pl.program_id(1)
     nbp = cos_ref.shape[-1]
     rex, imx, px, mx, my = _mags(zx_refs, zy_refs, cos_ref, sin_ref, k,
                                  (tb, nbp))
     valid = _valid_mask(i, tb, nbp, n_frames, n_bins)
-    c_diff = g_ref[0, 0]
-    c_log = g_ref[0, 2]
+    # g is whole-array resident in SMEM (a (1,3) block violates Mosaic's
+    # sublane rule); row-select this example's cotangents by program id
+    c_diff = g_ref[bb, 0]
+    c_log = g_ref[bb, 2]
     # d s_diff / d mx = -2 (my - mx);  d s_log / d mx = sign(log mx - log my)/mx
     gmag = valid * (c_diff * (-2.0) * (my - mx)
                     + c_log * jnp.sign(mx - my) / mx)
@@ -147,7 +155,7 @@ def _run_fwd(x, y, n_fft, hop, win):
     zx = _z_views_bf16(x, n_fft, hop, tb)
     zy = _z_views_bf16(y, n_fft, hop, tb)
 
-    part_spec = pl.BlockSpec((1, 1, nbp), lambda bb, i: (bb, i, 0),
+    part_spec = pl.BlockSpec((1, n_blocks, nbp), lambda bb, i: (bb, 0, 0),
                              memory_space=pltpu.VMEM)
     part_shape = jax.ShapeDtypeStruct((b, n_blocks, nbp), jnp.float32)
     diff, ref, log = pl.pallas_call(
@@ -185,7 +193,7 @@ def _vjp_bwd(n_fft, hop, win, res, g):
     zx = _z_views_bf16(x, n_fft, hop, tb)
     zy = _z_views_bf16(y, n_fft, hop, tb)
 
-    g_spec = pl.BlockSpec((1, 3), lambda bb, i: (bb, 0),
+    g_spec = pl.BlockSpec((b, 3), lambda bb, i: (0, 0),
                           memory_space=pltpu.SMEM)
     plane_spec = pl.BlockSpec((1, tb, hop), lambda bb, i: (bb, i, 0),
                               memory_space=pltpu.VMEM)

@@ -81,9 +81,9 @@ def train_step_bench(cfg=None, batch_size: int = 32, steps: int = 100,
     import jax
 
     from svs_tpu.train.step import create_train_state, make_train_step
-    from svs_tpu.utils.config import SVSConfig
+    from svs_tpu.utils.config import get_config
 
-    cfg = cfg or SVSConfig()
+    cfg = cfg or get_config("default")  # the SHIPPED config (bf16)
     rng = np.random.default_rng(seed)
     shape = (batch_size, cfg.freq_bins, cfg.input_len)
     batch = {
@@ -153,10 +153,10 @@ def decode_device_bench(params=None, bn_state=None, cfg=None,
 
     from svs_tpu.infer import separate
     from svs_tpu.models import unet
-    from svs_tpu.utils.config import SVSConfig
+    from svs_tpu.utils.config import get_config
     from svs_tpu.utils.profiling import fetch_barrier
 
-    cfg = cfg or SVSConfig()
+    cfg = cfg or get_config("default")
     if params is None:
         params, bn_state = unet.init(jax.random.key(0), cfg)
 
@@ -204,10 +204,10 @@ def train_epoch_bench(cfg=None, batch_size: int = 32, n_songs: int = 4,
 
     from svs_tpu.data.dataset import PatchDataset
     from svs_tpu.train.step import create_train_state, make_train_step
-    from svs_tpu.utils.config import SVSConfig
+    from svs_tpu.utils.config import get_config
     from svs_tpu.utils.profiling import fetch_barrier
 
-    cfg = cfg or SVSConfig()
+    cfg = cfg or get_config("default")
     rng = np.random.default_rng(seed)
     work = tempfile.mkdtemp(prefix="svs_epoch_bench_")
     try:
@@ -271,9 +271,9 @@ def run_bench(secs: float = 240.0, reps: int = 8, seed: int = 0,
 
     from svs_tpu.infer import separate
     from svs_tpu.models import unet
-    from svs_tpu.utils.config import SVSConfig
+    from svs_tpu.utils.config import get_config
 
-    cfg = cfg or SVSConfig()
+    cfg = cfg or get_config("default")  # the SHIPPED config (bf16)
     if compute_dtype:
         import dataclasses
         cfg = dataclasses.replace(cfg, compute_dtype=compute_dtype)

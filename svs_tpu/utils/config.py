@@ -81,21 +81,32 @@ class SVSConfig:
 
 # Named presets mirroring the reference's comment-block presets
 # (reference config.py:11-51).
+#
+# SHIPPED-CONFIG POLICY (round 3): presets are the production entry points
+# (every CLI resolves --preset through here) and carry the MEASURED-BEST
+# compute settings — bfloat16 conv compute (16.0 vs 18.7 ms/step @ B=32 on
+# v5e, grads agree at 1.7e-4 rel, convergence demo A/B'd on-chip), plus
+# remat for the long-patch fine_tune geometry (HBM halved AND slightly
+# faster, docs/ROUND_NOTES).  Bare ``SVSConfig()`` stays float32: it is the
+# reference-exact numerical core that the torch-oracle parity tests pin
+# byte-stable.  Opt out per-run with ``--dtype float32``.
 PRESETS = {
     # "Low Res Train Params" (config.py:11-16)
     "low_res": SVSConfig(sample_rate=8192, hop_size=768, input_len=128,
-                         samples_per_song=8),
+                         samples_per_song=8, compute_dtype="bfloat16"),
     # "44100 Params" (config.py:18-23)
     "hq44k": SVSConfig(sample_rate=44100, hop_size=256, input_len=512,
-                       samples_per_song=64),
+                       samples_per_song=64, compute_dtype="bfloat16"),
     # "Fine Tune Params" (config.py:25-33)
     "fine_tune": SVSConfig(sample_rate=44100, hop_size=256, input_len=1536,
-                           samples_per_song=16, learning_rate=5e-4),
+                           samples_per_song=16, learning_rate=5e-4,
+                           compute_dtype="bfloat16", remat=True),
     # "1207 Params" (config.py:35-44)
     "p1207": SVSConfig(sample_rate=44100, hop_size=768, input_len=512,
-                       samples_per_song=64, learning_rate=1e-4),
+                       samples_per_song=64, learning_rate=1e-4,
+                       compute_dtype="bfloat16"),
     # "1209 Params" — the reference's ACTIVE preset (config.py:46-51)
-    "default": SVSConfig(),
+    "default": SVSConfig(compute_dtype="bfloat16"),
 }
 
 

@@ -70,3 +70,19 @@ def test_preset_matches_reference_constants(name):
     }[name]
     for k, v in expect.items():
         assert getattr(cfg, k) == v, (name, k)
+
+
+def test_shipped_config_policy():
+    """Round-3 shipping policy: presets (the CLI entry points) carry the
+    measured-best compute settings — bfloat16 conv compute everywhere,
+    remat at the long-patch fine_tune geometry — while bare SVSConfig()
+    stays float32 (the reference-exact core the parity tests pin)."""
+    from svs_tpu.utils.config import SVSConfig
+
+    assert SVSConfig().compute_dtype == "float32"
+    assert SVSConfig().remat is False
+    for name, cfg in PRESETS.items():
+        assert cfg.compute_dtype == "bfloat16", name
+    assert PRESETS["fine_tune"].remat is True
+    for name in ("low_res", "hq44k", "p1207", "default"):
+        assert PRESETS[name].remat is False, name
