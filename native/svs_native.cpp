@@ -185,24 +185,32 @@ int fill_c8_angle(const NpyFile& f, int row_lo, int64_t start,
 // Assemble a training batch: for each item b, copy the shared random crop
 // starts[b] from (mag_handles[b], phase_handles[b]) into
 // mag_out/angle_out[b] (each (batch, rows-drop_dc, out_len) row-major).
+// angle_out may be nullptr (with phase_handles nullptr too): magnitudes
+// only — the Python side slices angles from its per-song cache so all
+// backends share ONE angle computation (bit-identical batches).
 // Work is split across n_threads std::threads.  Returns 0 or first error.
 int svs_fill_batch(const int* mag_handles, const int* phase_handles,
                    const int64_t* starts, int batch, int drop_dc,
                    int64_t out_len, float* mag_out, float* angle_out,
                    int n_threads) {
+  const bool want_angle = angle_out != nullptr;
+  if (want_angle && phase_handles == nullptr) return -13;
   std::vector<NpyFile> mags(batch), phases(batch);
   {
     std::lock_guard<std::mutex> lk(g_mu);
     for (int b = 0; b < batch; ++b) {
-      int hm = mag_handles[b], hp = phase_handles[b];
+      int hm = mag_handles[b];
       if (hm < 0 || hm >= static_cast<int>(g_files.size()) ||
           !g_files[hm].open || g_files[hm].dtype != kDtypeF4)
         return -10;
-      if (hp < 0 || hp >= static_cast<int>(g_files.size()) ||
-          !g_files[hp].open || g_files[hp].dtype != kDtypeC8)
-        return -11;
       mags[b] = g_files[hm];
-      phases[b] = g_files[hp];
+      if (want_angle) {
+        int hp = phase_handles[b];
+        if (hp < 0 || hp >= static_cast<int>(g_files.size()) ||
+            !g_files[hp].open || g_files[hp].dtype != kDtypeC8)
+          return -11;
+        phases[b] = g_files[hp];
+      }
     }
   }
   const int64_t item_rows = mags[0].rows - drop_dc;
@@ -213,13 +221,14 @@ int svs_fill_batch(const int* mag_handles, const int* phase_handles,
     int b;
     while ((b = next.fetch_add(1)) < batch) {
       if (mags[b].rows - drop_dc != item_rows ||
-          phases[b].rows != mags[b].rows) {
+          (want_angle && phases[b].rows != mags[b].rows)) {
         err.store(-12);
         continue;
       }
       fill_f4(mags[b], drop_dc, starts[b], out_len, mag_out + b * item);
-      fill_c8_angle(phases[b], drop_dc, starts[b], out_len,
-                    angle_out + b * item);
+      if (want_angle)
+        fill_c8_angle(phases[b], drop_dc, starts[b], out_len,
+                      angle_out + b * item);
     }
   };
   int t = std::max(1, std::min(n_threads, batch));
@@ -355,6 +364,6 @@ int svs_read_wav_f32(const char* path, float* out, int64_t capacity,
   return 0;
 }
 
-int svs_native_abi_version() { return 1; }
+int svs_native_abi_version() { return 2; }
 
 }  // extern "C"

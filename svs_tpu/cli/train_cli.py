@@ -55,6 +55,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--async_save", action="store_true",
                    help="write checkpoints from a worker thread (hides the "
                         "device->host fetch on slow links)")
+    p.add_argument("--device_data", type=str, default="auto",
+                   choices=["auto", "on", "off"],
+                   help="keep the spectrogram dataset HBM-resident and "
+                        "gather crops on-device (single-process mesh-free "
+                        "runs; 'auto' gates on --device_data_cap_mb)")
+    p.add_argument("--device_data_cap_mb", type=float, default=2048.0)
     return p
 
 
@@ -97,6 +103,8 @@ def main(argv=None) -> int:
         async_save=args.async_save,
         mesh=mesh,
         parallel="cp" if args.cp else "dp",
+        device_data=args.device_data,
+        device_data_cap_mb=args.device_data_cap_mb,
     )
     fit(opts, cfg)
     return 0

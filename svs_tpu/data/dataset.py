@@ -67,6 +67,7 @@ class PatchDataset:
         if not self.file_names:
             raise FileNotFoundError(f"no paired _spec.npy files under {path}")
         self._mmaps: Dict[str, Tuple[np.ndarray, ...]] = {}
+        self._angles: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
 
     def __len__(self) -> int:
         return len(self.file_names) * self.samples_per_song
@@ -89,92 +90,132 @@ class PatchDataset:
             )
         return self._mmaps[name]
 
+    def _song_angles(self, name: str) -> Tuple[np.ndarray, np.ndarray]:
+        """Full-song float32 angle planes (mixture, vocal), DC-dropped,
+        computed ONCE per song and cached.  The reference recomputes
+        ``np.angle`` per item (train.py:105-106); computing per song is
+        ~samples_per_song x cheaper AND makes every backend bit-identical —
+        numpy's angle kernel is SIMD-layout-dependent at the last ulp, so
+        the host and device pipelines must share one computation, not just
+        one formula.  Cost: the cache holds 2 float32 planes per touched
+        song (~10 MB/4-min song) in host RAM."""
+        if name not in self._angles:
+            _, _, mix_p, voc_p = self._song_arrays(name)
+            lo = 1 if self.drop_dc else 0
+            self._angles[name] = tuple(
+                np.angle(np.ascontiguousarray(p[lo:])).astype(np.float32)
+                for p in (mix_p, voc_p))
+        return self._angles[name]
+
+    def song_length(self, idx: int) -> int:
+        """Time frames of song ``idx % n_songs`` (mmap header read only)."""
+        name = self.file_names[idx % len(self.file_names)]
+        return int(self._song_arrays(name)[0].shape[1])
+
     def sample(self, idx: int, rng: np.random.Generator):
         """One training item (reference train.py:86-143)."""
+        t = self.song_length(idx)
+        l = self.input_len
+        # draw only when a crop is possible — same RNG call order as
+        # index_batches, so host and device pipelines stay bit-identical
+        start = (int(rng.integers(0, t - l, endpoint=True))  # train.py:121
+                 if t > l else 0)
+        return self.crop(idx, start)
+
+    def crop(self, idx: int, start: int):
+        """The item at a GIVEN crop offset (the deterministic half of
+        :meth:`sample`; the device-resident pipeline replays these offsets
+        on-device)."""
         name = self.file_names[idx % len(self.file_names)]
-        mix_m, voc_m, mix_p, voc_p = self._song_arrays(name)
+        mix_m, voc_m, _, _ = self._song_arrays(name)
+        mix_af, voc_af = self._song_angles(name)
         lo = 1 if self.drop_dc else 0  # DC drop (train.py:110-113)
         t = mix_m.shape[1]
         l = self.input_len
         if t > l:
-            start = int(rng.integers(0, t - l, endpoint=True))  # train.py:121
             sl = slice(start, start + l)
             mix = np.asarray(mix_m[lo:, sl], np.float32)
             voc = np.asarray(voc_m[lo:, sl], np.float32)
-            mix_a = np.angle(np.asarray(mix_p[lo:, sl])).astype(np.float32)
-            voc_a = np.angle(np.asarray(voc_p[lo:, sl])).astype(np.float32)
+            mix_a = np.ascontiguousarray(mix_af[:, sl])
+            voc_a = np.ascontiguousarray(voc_af[:, sl])
         else:
             pad = ((0, 0), (0, l - t))
             mix = np.pad(np.asarray(mix_m[lo:], np.float32), pad)
             voc = np.pad(np.asarray(voc_m[lo:], np.float32), pad)
-            mix_a = np.pad(np.angle(np.asarray(mix_p[lo:])).astype(np.float32), pad)
-            voc_a = np.pad(np.angle(np.asarray(voc_p[lo:])).astype(np.float32), pad)
+            mix_a = np.pad(mix_af, pad)
+            voc_a = np.pad(voc_af, pad)
         return mix, voc, mix_a, voc_a
 
     def _song_native(self, name: str):
-        """4 native handles per song: mixture (mag, phase), vocal (mag,
-        phase), opened once."""
+        """2 native handles per song: mixture mag, vocal mag, opened once.
+        (Phase planes never go through the native loader: angles come from
+        the shared numpy cache, :meth:`_song_angles`.)"""
         if name not in self._native_handles:
             from svs_tpu.data import native
-            phase_name = name.replace("_spec.npy", "_phase.npy")
             self._native_handles[name] = tuple(
-                native.NpyHandle(os.path.join(d, f))
-                for d, f in (
-                    (self.mixture_path, name),
-                    (self.mixture_path, phase_name),
-                    (self.vocal_path, name),
-                    (self.vocal_path, phase_name),
-                )
+                native.NpyHandle(os.path.join(d, name))
+                for d in (self.mixture_path, self.vocal_path)
             )
         return self._native_handles[name]
 
-    def _native_batch(self, idxs, rng: np.random.Generator
-                      ) -> Dict[str, np.ndarray]:
-        """Batch assembly through the C++ loader — identical RNG call order
-        to :meth:`sample`, so numpy/native backends produce equal batches."""
+    def _angle_crop(self, angles: np.ndarray, start: int) -> np.ndarray:
+        """Crop/pad one cached angle plane to ``input_len`` columns — the
+        same two branches as :meth:`crop` (slice when the song is long
+        enough, zero-pad when short, reference train.py:119-135)."""
+        l = self.input_len
+        seg = angles[:, start:start + l]
+        if seg.shape[1] < l:
+            seg = np.pad(seg, ((0, 0), (0, l - seg.shape[1])))
+        return seg
+
+    def _native_batch(self, idxs, starts) -> Dict[str, np.ndarray]:
+        """Batch assembly through the C++ loader at GIVEN crop offsets (the
+        offsets come from :meth:`index_batches`, the shared RNG source).
+        Magnitudes are cropped from mmap in C++ threads; angle planes are
+        sliced from the shared per-song cache (:meth:`_song_angles`) — NOT
+        recomputed with C++ atan2f, which differs from numpy's angle at the
+        last ulp — so numpy/native/device backends produce bit-identical
+        batches."""
         from svs_tpu.data import native
         l = self.input_len
-        handles = []
-        starts = []
+        names, handles = [], []
         for idx in idxs:
             name = self.file_names[idx % len(self.file_names)]
-            hs = self._song_native(name)
-            t = hs[0].cols
-            start = int(rng.integers(0, t - l, endpoint=True)) if t > l else 0
-            handles.append(hs)
-            starts.append(start)
+            names.append(name)
+            handles.append(self._song_native(name))
         rows = handles[0][0].rows - (1 if self.drop_dc else 0)
         starts = np.asarray(starts, np.int64)
-        mix, mix_a = native.fill_batch(
-            np.asarray([h[0].handle for h in handles]),
-            np.asarray([h[1].handle for h in handles]),
+        mix, _ = native.fill_batch(
+            np.asarray([h[0].handle for h in handles]), None,
             starts, drop_dc=self.drop_dc, out_len=l, rows=rows)
-        voc, voc_a = native.fill_batch(
-            np.asarray([h[2].handle for h in handles]),
-            np.asarray([h[3].handle for h in handles]),
+        voc, _ = native.fill_batch(
+            np.asarray([h[1].handle for h in handles]), None,
             starts, drop_dc=self.drop_dc, out_len=l, rows=rows)
+        angles = [self._song_angles(n) for n in names]
+        mix_a = np.stack([self._angle_crop(a[0], int(s))
+                          for a, s in zip(angles, starts)])
+        voc_a = np.stack([self._angle_crop(a[1], int(s))
+                          for a, s in zip(angles, starts)])
         return {"mix": mix, "voc": voc, "mix_angle": mix_a,
                 "voc_angle": voc_a}
 
-    def batches(
+    def index_batches(
         self,
         batch_size: int,
         *,
         shuffle: bool = True,
         seed: Optional[int] = None,
         drop_last: bool = False,
-        prefetch: int = 2,
         n_steps: Optional[int] = None,
-    ) -> Iterator[Dict[str, np.ndarray]]:
-        """Yield dict batches of stacked (B, 512, input_len) arrays with
-        background prefetch.
-
-        ``n_steps``: yield EXACTLY this many full batches, wrapping around
-        the (re-shuffled) index order as needed.  Multi-host training uses
-        this to keep every host's step count in lockstep regardless of how
-        the songs split across hosts (collective programs must be entered
-        the same number of times everywhere); the sampler is a random patch
-        cropper anyway, so wraparound only re-crops songs.
+    ) -> Iterator[Tuple[List[int], np.ndarray]]:
+        """Yield the ``(dataset_indices, crop_starts)`` stream that defines
+        an epoch.  This is the SINGLE source of the epoch's RNG sequence:
+        the host pipeline (:meth:`batches`, numpy or native backend) and the
+        device-resident pipeline (``device_data.DeviceDataset``) both
+        consume it, so every backend produces bit-identical batches for a
+        given seed.  RNG call order (permutations first, then one
+        ``integers`` draw per croppable item in batch order) reproduces the
+        original host sampler exactly.
         """
         rng = np.random.default_rng(seed)
         n = len(self)
@@ -197,14 +238,46 @@ class PatchDataset:
             spans = [(e - batch_size, min(e, n)) for e in ends
                      if e - batch_size < n]
 
+        l = self.input_len
+        for lo_i, hi_i in spans:
+            idxs = [int(order[i]) for i in range(lo_i, hi_i)]
+            starts = np.zeros(len(idxs), np.int64)
+            for j, idx in enumerate(idxs):
+                t = self.song_length(idx)
+                if t > l:  # train.py:121; short songs zero-pad at start 0
+                    starts[j] = int(rng.integers(0, t - l, endpoint=True))
+            yield idxs, starts
+
+    def batches(
+        self,
+        batch_size: int,
+        *,
+        shuffle: bool = True,
+        seed: Optional[int] = None,
+        drop_last: bool = False,
+        prefetch: int = 2,
+        n_steps: Optional[int] = None,
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        """Yield dict batches of stacked (B, 512, input_len) arrays with
+        background prefetch.
+
+        ``n_steps``: yield EXACTLY this many full batches, wrapping around
+        the (re-shuffled) index order as needed.  Multi-host training uses
+        this to keep every host's step count in lockstep regardless of how
+        the songs split across hosts (collective programs must be entered
+        the same number of times everywhere); the sampler is a random patch
+        cropper anyway, so wraparound only re-crops songs.
+        """
         def produce(q: queue.Queue):
             try:
-                for lo_i, hi_i in spans:
-                    idxs = [int(order[i]) for i in range(lo_i, hi_i)]
+                for idxs, starts in self.index_batches(
+                        batch_size, shuffle=shuffle, seed=seed,
+                        drop_last=drop_last, n_steps=n_steps):
                     if self.backend == "native":
-                        batch = self._native_batch(idxs, rng)
+                        batch = self._native_batch(idxs, starts)
                     else:
-                        items = [self.sample(i, rng) for i in idxs]
+                        items = [self.crop(i, int(s))
+                                 for i, s in zip(idxs, starts)]
                         batch = {
                             k: np.stack([it[j] for it in items])
                             for j, k in enumerate(

@@ -1,0 +1,149 @@
+"""Device-resident training data: the whole spectrogram dataset in HBM.
+
+The host pipeline (``dataset.py``) ships 4 x (B, 512, L) float32 planes per
+step — ~134 MB at B=32 — over the host->device link every step; on
+tunnelled/slow-link rigs that LINK, not the chip, bounds end-to-end training
+(docs/ROUND_NOTES round-2 demo: ~134 MB/step tunnel-bound while the step
+itself is 16 ms).  Here the entire dataset is placed in HBM ONCE (songs
+zero-padded into a static ``(n_songs, F, T_max)`` box per plane) and each
+step's random crops are gathered on-device; the per-step host->device
+traffic drops to two ``(B,)`` int32 vectors.
+
+TPU-first design:
+- static shapes — crop offsets are DATA (``lax.dynamic_slice``), not shapes,
+  so one compiled gather signature serves every step of an epoch
+- reference semantics unchanged: same virtual epoch (n_songs x
+  samples_per_song, reference train.py:83-84) and the same shared random
+  128-frame crop (train.py:119-126).  The (song, start) stream comes from
+  ``PatchDataset.index_batches`` — the SAME numpy RNG sequence the host
+  pipeline uses — so device and host pipelines yield bit-identical batches
+  (tested in tests/test_device_data.py)
+- songs shorter than ``input_len`` are zero-padded at load with start 0,
+  reproducing the reference's pad branch (train.py:127-135)
+
+Memory: 4 float32 planes of (S, F, T_max).  MUSDB18-scale (100 songs x
+~2560 frames x 512 bins) is ~2.1 GB — comfortably HBM-resident on one v5e
+next to the model; ``resident_bytes`` lets callers gate on a cap first.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from svs_tpu.data.dataset import PatchDataset
+
+_KEYS = ("mix", "voc", "mix_angle", "voc_angle")
+
+
+def resident_bytes(ds: PatchDataset) -> int:
+    """HBM footprint of ``DeviceDataset(ds)`` WITHOUT loading anything:
+    4 float32 planes of (n_songs, F, max(T_max, input_len)) — song shapes
+    come from .npy headers only (mmap)."""
+    lens = [ds.song_length(i) for i in range(ds.n_songs)]
+    t_max = max(max(lens), ds.input_len)
+    rows = int(ds._song_arrays(ds.file_names[0])[0].shape[0])
+    f = rows - (1 if ds.drop_dc else 0)
+    return 4 * ds.n_songs * f * t_max * 4
+
+
+@functools.partial(jax.jit, static_argnames=("input_len",))
+def _gather(planes: Dict[str, jax.Array], songs: jax.Array,
+            starts: jax.Array, input_len: int) -> Dict[str, jax.Array]:
+    """(B,) song indices + (B,) crop offsets -> dict of (B, F, L) crops,
+    entirely on-device (one dynamic_slice per example per plane; XLA lowers
+    the batch to a dynamic gather — no host traffic)."""
+    def one(i, s):
+        return {
+            k: lax.dynamic_slice(p, (i, 0, s),
+                                 (1, p.shape[1], input_len))[0]
+            for k, p in planes.items()
+        }
+    return jax.vmap(one)(songs, starts)
+
+
+class DeviceDataset:
+    """HBM-resident mirror of a :class:`PatchDataset`.
+
+    Same ``batches`` signature/semantics as the host dataset; yields dicts
+    of committed device arrays instead of numpy.  Intended for single-host
+    training where the host->device link is the epoch bottleneck (the
+    ``fit()`` integration gates on process count and a byte cap).
+    """
+
+    def __init__(self, host: PatchDataset):
+        self.host = host
+        lo = 1 if host.drop_dc else 0
+        lens = [host.song_length(i) for i in range(host.n_songs)]
+        t_max = max(max(lens), host.input_len)
+        rows = int(host._song_arrays(host.file_names[0])[0].shape[0])
+        f = rows - lo
+        planes = {k: np.zeros((host.n_songs, f, t_max), np.float32)
+                  for k in _KEYS}
+        for s, name in enumerate(host.file_names):
+            mix_m, voc_m, _, _ = host._song_arrays(name)
+            t = mix_m.shape[1]
+            planes["mix"][s, :, :t] = mix_m[lo:]
+            planes["voc"][s, :, :t] = voc_m[lo:]
+            # the host's once-per-song angle cache — the SAME computation
+            # the host pipeline slices from, so crops match bit-for-bit
+            mix_a, voc_a = host._song_angles(name)
+            planes["mix_angle"][s, :, :t] = mix_a
+            planes["voc_angle"][s, :, :t] = voc_a
+        self.planes = {k: jax.device_put(v) for k, v in planes.items()}
+        self.nbytes = sum(int(v.nbytes) for v in self.planes.values())
+
+    # -- PatchDataset surface used by the training loop -------------------
+    def __len__(self) -> int:
+        return len(self.host)
+
+    @property
+    def n_songs(self) -> int:
+        return self.host.n_songs
+
+    @property
+    def input_len(self) -> int:
+        return self.host.input_len
+
+    def steps_per_epoch(self, batch_size: int,
+                        drop_last: bool = False) -> int:
+        return self.host.steps_per_epoch(batch_size, drop_last)
+
+    def batches(
+        self,
+        batch_size: int,
+        *,
+        shuffle: bool = True,
+        seed: Optional[int] = None,
+        drop_last: bool = False,
+        prefetch: int = 2,  # unused: device dispatch is already async
+        n_steps: Optional[int] = None,
+    ) -> Iterator[Dict[str, jax.Array]]:
+        n_songs = self.host.n_songs
+        for idxs, starts in self.host.index_batches(
+                batch_size, shuffle=shuffle, seed=seed,
+                drop_last=drop_last, n_steps=n_steps):
+            songs = jnp.asarray(np.asarray(idxs, np.int32) % n_songs)
+            yield _gather(self.planes, songs,
+                          jnp.asarray(starts.astype(np.int32)),
+                          self.input_len)
+
+
+def maybe_device_dataset(ds: Optional[PatchDataset], mode: str,
+                         cap_mb: float) -> Optional[object]:
+    """Gate for the fit() integration: returns a DeviceDataset when
+    ``mode`` is "on", or "auto" and the resident footprint fits ``cap_mb``;
+    otherwise the host dataset unchanged.  ("off" -> host dataset.)"""
+    if ds is None or mode == "off":
+        return ds
+    if mode not in ("on", "auto"):
+        raise ValueError(f"device_data must be on/off/auto, got {mode!r}")
+    if mode == "auto" and resident_bytes(ds) > cap_mb * 2**20:
+        return ds
+    return DeviceDataset(ds)

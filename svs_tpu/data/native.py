@@ -21,7 +21,7 @@ _SRC_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "svs_native.cpp"))
 
 _lib = None
 _lib_lock = threading.Lock()
-_ABI = 1
+_ABI = 2
 
 
 def _build() -> bool:
@@ -117,30 +117,36 @@ class NpyHandle:
 
 def fill_batch(
     mag_handles: np.ndarray,
-    phase_handles: np.ndarray,
+    phase_handles: Optional[np.ndarray],
     starts: np.ndarray,
     *,
     drop_dc: bool,
     out_len: int,
     rows: int,
     n_threads: int = 4,
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Assemble (B, rows, out_len) magnitude + phase-angle batch buffers from
-    native handles; crop/pad/angle all in C++ threads."""
+) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """Assemble (B, rows, out_len) magnitude (+ phase-angle) batch buffers
+    from native handles; crop/pad (and atan2f when angles are requested) in
+    C++ threads.  ``phase_handles=None`` fills magnitudes only and returns
+    ``(mag, None)`` — the production dataset path, which takes angles from
+    its shared per-song cache instead so every backend is bit-identical."""
     lib = _load()
     b = len(mag_handles)
     mag = np.empty((b, rows, out_len), np.float32)
-    ang = np.empty((b, rows, out_len), np.float32)
+    ang = (np.empty((b, rows, out_len), np.float32)
+           if phase_handles is not None else None)
     rc = lib.svs_fill_batch(
         np.ascontiguousarray(mag_handles, np.int32).ctypes.data_as(
             ctypes.POINTER(ctypes.c_int)),
-        np.ascontiguousarray(phase_handles, np.int32).ctypes.data_as(
-            ctypes.POINTER(ctypes.c_int)),
+        (np.ascontiguousarray(phase_handles, np.int32).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int))
+         if phase_handles is not None else None),
         np.ascontiguousarray(starts, np.int64).ctypes.data_as(
             ctypes.POINTER(ctypes.c_int64)),
         b, 1 if drop_dc else 0, out_len,
         mag.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        ang.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        (ang.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+         if ang is not None else None),
         n_threads,
     )
     if rc != 0:

@@ -52,6 +52,18 @@ def test_train_epoch_bench_fields():
         out["train_epoch_patches"] / out["train_epoch_secs"], rtol=0.1)
 
 
+def test_train_epoch_bench_device_resident():
+    """Same bench through the HBM-resident pipeline: suffixed fields."""
+    from svs_tpu.utils.benchmark import train_epoch_bench
+
+    cfg = dataclasses.replace(SVSConfig(), input_len=64, samples_per_song=4)
+    out = train_epoch_bench(cfg, batch_size=4, n_songs=2, song_frames=150,
+                            epochs=1, device_resident=True)
+    assert out["train_epoch_device_secs"] > 0
+    assert out["train_epoch_device_patches"] == 8
+    assert out["train_patches_per_sec_device"] > 0
+
+
 def test_device_peak_flops_longest_prefix():
     """MFU denominator matching is longest-prefix, independent of table
     order: 'TPU v5 lite' must never resolve to the 'TPU v5' (v5p) peak."""

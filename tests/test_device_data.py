@@ -1,0 +1,115 @@
+"""Device-resident data pipeline (data/device_data.py): the HBM dataset +
+on-device crop gather must be indistinguishable from the host pipeline —
+same batches bit-for-bit, same fit() trajectory."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from svs_tpu.data import device_data as dd
+from svs_tpu.data.dataset import PatchDataset
+from svs_tpu.utils.config import SVSConfig
+
+KEYS = ("mix", "voc", "mix_angle", "voc_angle")
+
+
+def _make_spec_dataset(root, frames, seed=0):
+    rng = np.random.default_rng(seed)
+    for folder in ("mixture", "vocal"):
+        os.makedirs(os.path.join(root, folder), exist_ok=True)
+    for i, t in enumerate(frames):
+        base = f"{i:04d}_s{i}"
+        for folder in ("mixture", "vocal"):
+            np.save(os.path.join(root, folder, f"{base}_spec.npy"),
+                    rng.random((513, t)).astype(np.float32))
+            ang = rng.random((513, t)).astype(np.float32) * 6 - 3
+            np.save(os.path.join(root, folder, f"{base}_phase.npy"),
+                    np.exp(1j * ang).astype(np.complex64))
+
+
+@pytest.fixture
+def ds(tmp_path):
+    # one song LONGER than input_len, one exactly at it, one SHORTER
+    # (exercises the zero-pad branch, reference train.py:127-135)
+    _make_spec_dataset(str(tmp_path), frames=(300, 128, 70))
+    return PatchDataset(str(tmp_path), samples_per_song=4, input_len=128)
+
+
+def _assert_batches_equal(host_batches, dev_batches):
+    host_batches, dev_batches = list(host_batches), list(dev_batches)
+    assert len(host_batches) == len(dev_batches)
+    for hb, db in zip(host_batches, dev_batches):
+        for k in KEYS:
+            np.testing.assert_array_equal(np.asarray(db[k]), hb[k],
+                                          err_msg=k)
+
+
+def test_device_batches_bit_identical(ds):
+    dev = dd.DeviceDataset(ds)
+    for seed in (0, 3):
+        _assert_batches_equal(
+            ds.batches(5, seed=seed),
+            dev.batches(5, seed=seed))
+
+
+def test_device_batches_nsteps_and_droplast(ds):
+    dev = dd.DeviceDataset(ds)
+    # n_steps wraparound (multi-host lockstep mode)
+    _assert_batches_equal(
+        ds.batches(4, seed=1, n_steps=7),
+        dev.batches(4, seed=1, n_steps=7))
+    _assert_batches_equal(
+        ds.batches(5, seed=2, drop_last=True),
+        dev.batches(5, seed=2, drop_last=True))
+    _assert_batches_equal(
+        ds.batches(3, seed=4, shuffle=False),
+        dev.batches(3, seed=4, shuffle=False))
+
+
+def test_resident_bytes_matches_and_gates(ds):
+    dev = dd.DeviceDataset(ds)
+    assert dd.resident_bytes(ds) == dev.nbytes
+    # 3 songs x 4 planes x 512 x 300 x 4B
+    assert dev.nbytes == 4 * 3 * 512 * 300 * 4
+
+    assert isinstance(dd.maybe_device_dataset(ds, "on", 0.0001),
+                      dd.DeviceDataset)
+    assert dd.maybe_device_dataset(ds, "off", 1e9) is ds
+    assert dd.maybe_device_dataset(ds, "auto", 0.0001) is ds
+    assert isinstance(dd.maybe_device_dataset(ds, "auto", 1e9),
+                      dd.DeviceDataset)
+    assert dd.maybe_device_dataset(None, "on", 1e9) is None
+    with pytest.raises(ValueError):
+        dd.maybe_device_dataset(ds, "yes", 1e9)
+
+
+def test_fit_device_equals_host(tmp_path):
+    """fit() with the device pipeline reproduces the host-pipeline run
+    EXACTLY (same jit program + bit-identical batches => bitwise-equal
+    params)."""
+    from svs_tpu.train.loop import TrainOptions, fit
+
+    train_dir = str(tmp_path / "train")
+    _make_spec_dataset(train_dir, frames=(200, 90), seed=0)
+    cfg = SVSConfig(samples_per_song=2)
+
+    def run(mode, tag):
+        opts = TrainOptions(
+            train_folder=train_dir, valid_folder=str(tmp_path / "novalid"),
+            label=tag, epoch=2, batch_size=2,
+            ckpt_dir=str(tmp_path / f"CKPT_{tag}"),
+            log_dir=str(tmp_path / f"LOG_{tag}"),
+            load_path=str(tmp_path / "none.ckpt"), progress=False,
+            device_data=mode,
+        )
+        return fit(opts, cfg)
+
+    s_host = run("off", "h")
+    s_dev = run("on", "d")
+    assert int(s_host.step) == int(s_dev.step) == 4
+    for a, b in zip(jax.tree.leaves(s_host.params),
+                    jax.tree.leaves(s_dev.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
