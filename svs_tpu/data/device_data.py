@@ -68,6 +68,21 @@ def _gather(planes: Dict[str, jax.Array], songs: jax.Array,
     return jax.vmap(one)(songs, starts)
 
 
+def _gather_weighted(planes: Dict[str, jax.Array], songs: jax.Array,
+                     starts: jax.Array, weight: jax.Array,
+                     input_len: int) -> Dict[str, jax.Array]:
+    """Mesh variant of :func:`_gather`: rows are multiplied by the 0/1
+    ``weight`` validity vector so padded rows are EXACTLY the zero planes
+    the host distributor (``mesh.shard_batch``) appends — x*1.0 is the
+    identity and x*0.0 (+0.0 sums) is exact in IEEE, so the weighted step
+    reductions match the host pipeline bit-for-bit.  The ``weight`` key
+    rides along like the host distributors attach it."""
+    out = _gather(planes, songs, starts, input_len=input_len)
+    out = {k: v * weight[:, None, None] for k, v in out.items()}
+    out["weight"] = weight
+    return out
+
+
 class DeviceDataset:
     """HBM-resident mirror of a :class:`PatchDataset`.
 
@@ -75,10 +90,18 @@ class DeviceDataset:
     of committed device arrays instead of numpy.  Intended for single-host
     training where the host->device link is the epoch bottleneck (the
     ``fit()`` integration gates on process count and a byte cap).
+
+    ``mesh``: DP mode — planes are replicated over the mesh and each
+    gathered batch comes out batch-sharded (``out_shardings``) with the
+    ``mesh.shard_batch`` padding policy (zero rows to a device-count
+    multiple + 0/1 ``weight``), so batches feed ``dp.make_dp_train_step``
+    directly: per-step host traffic for DP training is still just the two
+    (B,) index vectors.
     """
 
-    def __init__(self, host: PatchDataset):
+    def __init__(self, host: PatchDataset, mesh=None, axis_name: str = "data"):
         self.host = host
+        self.mesh = mesh
         lo = 1 if host.drop_dc else 0
         lens = [host.song_length(i) for i in range(host.n_songs)]
         t_max = max(max(lens), host.input_len)
@@ -96,7 +119,18 @@ class DeviceDataset:
             mix_a, voc_a = host._song_angles(name)
             planes["mix_angle"][s, :, :t] = mix_a
             planes["voc_angle"][s, :, :t] = voc_a
-        self.planes = {k: jax.device_put(v) for k, v in planes.items()}
+        if mesh is not None:
+            from svs_tpu.parallel import mesh as mesh_lib
+            rep = mesh_lib.replicated(mesh)
+            self.planes = {k: jax.device_put(v, rep)
+                           for k, v in planes.items()}
+            bsh = mesh_lib.batch_sharded(mesh, axis_name)
+            self._gather_mesh = jax.jit(
+                functools.partial(_gather_weighted,
+                                  input_len=host.input_len),
+                out_shardings=bsh)
+        else:
+            self.planes = {k: jax.device_put(v) for k, v in planes.items()}
         self.nbytes = sum(int(v.nbytes) for v in self.planes.values())
 
     # -- PatchDataset surface used by the training loop -------------------
@@ -124,19 +158,40 @@ class DeviceDataset:
         drop_last: bool = False,
         prefetch: int = 2,  # unused: device dispatch is already async
         n_steps: Optional[int] = None,
+        pad_rows_to: Optional[int] = None,
     ) -> Iterator[Dict[str, jax.Array]]:
+        """``pad_rows_to`` (mesh mode only): fixed row target — pass the
+        full batch size for validation so the remainder batch keeps the
+        full-batch shape and eval compiles ONE signature (the
+        ``multihost.global_batch_from_global`` convention).  Default pads
+        only up to the device-count multiple (``mesh.shard_batch``)."""
         n_songs = self.host.n_songs
         for idxs, starts in self.host.index_batches(
                 batch_size, shuffle=shuffle, seed=seed,
                 drop_last=drop_last, n_steps=n_steps):
-            songs = jnp.asarray(np.asarray(idxs, np.int32) % n_songs)
-            yield _gather(self.planes, songs,
-                          jnp.asarray(starts.astype(np.int32)),
-                          self.input_len)
+            songs = np.asarray(idxs, np.int32) % n_songs
+            starts = starts.astype(np.int32)
+            if self.mesh is None:
+                yield _gather(self.planes, jnp.asarray(songs),
+                              jnp.asarray(starts), self.input_len)
+                continue
+            b = len(songs)
+            n_dev = int(self.mesh.devices.size)
+            padded = -(-max(b, pad_rows_to or 0) // n_dev) * n_dev
+            weight = np.zeros(padded, np.float32)
+            weight[:b] = 1.0
+            # pad indices with (song 0, start 0): the gathered rows are
+            # zeroed by the in-kernel weight multiply, matching the host
+            # distributor's appended zero rows exactly
+            songs = np.pad(songs, (0, padded - b))
+            starts = np.pad(starts, (0, padded - b))
+            yield self._gather_mesh(self.planes, jnp.asarray(songs),
+                                    jnp.asarray(starts),
+                                    jnp.asarray(weight))
 
 
 def maybe_device_dataset(ds: Optional[PatchDataset], mode: str,
-                         cap_mb: float) -> Optional[object]:
+                         cap_mb: float, mesh=None) -> Optional[object]:
     """Gate for the fit() integration: returns a DeviceDataset when
     ``mode`` is "on", or "auto" and the resident footprint fits ``cap_mb``;
     otherwise the host dataset unchanged.  ("off" -> host dataset.)"""
@@ -146,4 +201,4 @@ def maybe_device_dataset(ds: Optional[PatchDataset], mode: str,
         raise ValueError(f"device_data must be on/off/auto, got {mode!r}")
     if mode == "auto" and resident_bytes(ds) > cap_mb * 2**20:
         return ds
-    return DeviceDataset(ds)
+    return DeviceDataset(ds, mesh=mesh)

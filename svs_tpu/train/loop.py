@@ -63,9 +63,10 @@ class TrainOptions:
     # keep the spectrogram dataset HBM-resident and gather crops on-device
     # (data/device_data.py): per-step host->device traffic drops from
     # ~134 MB of patch planes (B=32) to two (B,) int32 vectors — the epoch
-    # bottleneck on slow host links.  "auto" enables it on single-process,
-    # mesh-free runs when the dataset fits device_data_cap_mb; batches are
-    # bit-identical to the host pipeline's (shared index stream, tested)
+    # bottleneck on slow host links.  "auto" enables it on single-process
+    # runs (mesh-free, or a DP mesh — batches come out batch-sharded) when
+    # the dataset fits device_data_cap_mb; batches are bit-identical to
+    # the host pipeline's (shared index stream, tested)
     device_data: str = "auto"  # "auto" | "on" | "off"
     device_data_cap_mb: float = 2048.0
     mesh: Optional[object] = None  # jax Mesh -> distributed training
@@ -131,17 +132,23 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
         print(f"Warning: no validation folder {opts.valid_folder}; skipping "
               "validation.")
 
-    # device-resident data (single-process, mesh-free runs: exactly where
-    # put() is the identity, so gathered device batches feed the step with
-    # zero host traffic; mesh/multi-host paths keep the host pipeline whose
-    # distributors expect numpy rows)
-    if (pc == 1 and opts.mesh is None and opts.device_put is None
-            and opts.device_data != "off"):
+    # device-resident data (single-process runs, mesh-free or DP mesh: the
+    # gathered batches come out exactly as the step consumes them —
+    # committed single-device arrays, or batch-sharded + zero-weight-padded
+    # for DP — so per-step host traffic is two (B,) index vectors.
+    # Multi-host keeps the host pipeline whose distributors assemble
+    # global arrays from per-host rows; CP keeps it because its batches are
+    # time-sharded, not batch-sharded)
+    dd = None
+    if (pc == 1 and opts.device_put is None and opts.device_data != "off"
+            and (opts.mesh is None or opts.parallel == "dp")):
         from svs_tpu.data import device_data as dd
         train_ds = dd.maybe_device_dataset(train_ds, opts.device_data,
-                                           opts.device_data_cap_mb)
+                                           opts.device_data_cap_mb,
+                                           mesh=opts.mesh)
         valid_ds = dd.maybe_device_dataset(valid_ds, opts.device_data,
-                                           opts.device_data_cap_mb)
+                                           opts.device_data_cap_mb,
+                                           mesh=opts.mesh)
         if isinstance(train_ds, dd.DeviceDataset):
             print(f"[svs-tpu] device-resident dataset: "
                   f"{train_ds.nbytes / 2**20:.0f} MiB in HBM")
@@ -209,6 +216,24 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
                     opts.mesh, b, pad_rows_to=opts.batch_size)
     else:
         train_step = make_train_step(cfg, optimizer)
+
+    val_batch_kwargs = {}
+    if dd is not None:
+        # device-resident batches are already placed (and, under a DP mesh,
+        # sharded + zero-weight-padded) — the host distributors must not
+        # re-touch them; host batches (numpy) still go through them, so a
+        # device train set can coexist with a host val set and vice versa
+        def _passthrough(fn):
+            return lambda b: (b if isinstance(next(iter(b.values())),
+                                              jax.Array) else fn(b))
+        if (isinstance(train_ds, dd.DeviceDataset)
+                or isinstance(valid_ds, dd.DeviceDataset)):
+            put, put_val = _passthrough(put), _passthrough(put_val)
+        if (isinstance(valid_ds, dd.DeviceDataset)
+                and valid_ds.mesh is not None):
+            # fixed-shape remainder val batches (one eval signature) — the
+            # device-side mirror of put_val's pad_rows_to
+            val_batch_kwargs = {"pad_rows_to": opts.batch_size}
 
     # 100.0 init per reference train.py:209, but restored from the checkpoint
     # on resume so a resumed run can't overwrite svs_best with a worse model
@@ -332,7 +357,8 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
                 # crops are unseeded (train.py:119-126) and so re-rolled
                 # every validation pass.
                 for batch in valid_ds.batches(opts.batch_size, shuffle=False,
-                                              seed=opts.seed):
+                                              seed=opts.seed,
+                                              **val_batch_kwargs):
                     aux = eval_step(state, put_val(batch))
                     val_losses.append(float(aux["total"]))
                 # the eval loss is a GLOBAL mean under the mesh sharding, so

@@ -86,6 +86,69 @@ def test_resident_bytes_matches_and_gates(ds):
         dd.maybe_device_dataset(ds, "yes", 1e9)
 
 
+def test_mesh_device_batches_match_host_distributor(ds):
+    """DP-mesh mode: gathered batches equal mesh.shard_batch(host batch)
+    bit-for-bit per key — including the zero pad rows and the weight
+    vector — and carry the batch-sharded layout."""
+    from svs_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.make_mesh()
+    dev = dd.DeviceDataset(ds, mesh=mesh)
+    host_b = list(ds.batches(5, seed=7))          # 12 items -> 5,5,2
+    dev_b = list(dev.batches(5, seed=7))
+    assert len(host_b) == len(dev_b)
+    for hb, db in zip(host_b, dev_b):
+        sharded = mesh_lib.shard_batch(mesh, hb)
+        for k in KEYS + ("weight",):
+            np.testing.assert_array_equal(np.asarray(db[k]),
+                                          np.asarray(sharded[k]), err_msg=k)
+            assert db[k].sharding.is_equivalent_to(
+                sharded[k].sharding, db[k].ndim), k
+
+    # pad_rows_to: every batch (incl. the 2-row remainder) keeps ONE fixed
+    # shape — the target rounded up to the device count, exactly like
+    # multihost.global_batch_from_global — extra rows zero-weighted
+    n_dev = int(mesh.devices.size)
+    fixed = -(-5 // n_dev) * n_dev
+    padded = list(dev.batches(5, seed=7, pad_rows_to=5))
+    assert {b["mix"].shape[0] for b in padded} == {fixed}
+    expect_w = np.zeros(fixed, np.float32)
+    expect_w[:2] = 1.0  # 12 items in batches of 5 -> 2-row remainder
+    np.testing.assert_array_equal(np.asarray(padded[-1]["weight"]), expect_w)
+
+
+def test_fit_dp_mesh_device_equals_host(tmp_path):
+    """fit() over a DP mesh with the device pipeline reproduces the
+    host-pipeline mesh run bitwise (same sharded step program, identical
+    padded batches), validation included."""
+    from svs_tpu.parallel import mesh as mesh_lib
+    from svs_tpu.train.loop import TrainOptions, fit
+
+    train_dir = str(tmp_path / "train")
+    valid_dir = str(tmp_path / "valid")
+    _make_spec_dataset(train_dir, frames=(200, 90), seed=0)
+    _make_spec_dataset(valid_dir, frames=(150,), seed=1)
+    cfg = SVSConfig(samples_per_song=3)  # 6 items, B=4 -> remainder batch
+
+    def run(mode, tag):
+        opts = TrainOptions(
+            train_folder=train_dir, valid_folder=valid_dir,
+            label=tag, epoch=2, batch_size=4, val_interval=2,
+            ckpt_dir=str(tmp_path / f"CKPT_{tag}"),
+            log_dir=str(tmp_path / f"LOG_{tag}"),
+            load_path=str(tmp_path / "none.ckpt"), progress=False,
+            device_data=mode, mesh=mesh_lib.make_mesh(),
+        )
+        return fit(opts, cfg)
+
+    s_host = run("off", "mh")
+    s_dev = run("on", "md")
+    assert int(s_host.step) == int(s_dev.step) == 4
+    for a, b in zip(jax.tree.leaves(s_host.params),
+                    jax.tree.leaves(s_dev.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_fit_device_equals_host(tmp_path):
     """fit() with the device pipeline reproduces the host-pipeline run
     EXACTLY (same jit program + bit-identical batches => bitwise-equal
