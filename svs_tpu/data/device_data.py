@@ -102,23 +102,7 @@ class DeviceDataset:
     def __init__(self, host: PatchDataset, mesh=None, axis_name: str = "data"):
         self.host = host
         self.mesh = mesh
-        lo = 1 if host.drop_dc else 0
-        lens = [host.song_length(i) for i in range(host.n_songs)]
-        t_max = max(max(lens), host.input_len)
-        rows = int(host._song_arrays(host.file_names[0])[0].shape[0])
-        f = rows - lo
-        planes = {k: np.zeros((host.n_songs, f, t_max), np.float32)
-                  for k in _KEYS}
-        for s, name in enumerate(host.file_names):
-            mix_m, voc_m, _, _ = host._song_arrays(name)
-            t = mix_m.shape[1]
-            planes["mix"][s, :, :t] = mix_m[lo:]
-            planes["voc"][s, :, :t] = voc_m[lo:]
-            # the host's once-per-song angle cache — the SAME computation
-            # the host pipeline slices from, so crops match bit-for-bit
-            mix_a, voc_a = host._song_angles(name)
-            planes["mix_angle"][s, :, :t] = mix_a
-            planes["voc_angle"][s, :, :t] = voc_a
+        planes = _pack_planes(host)
         if mesh is not None:
             from svs_tpu.parallel import mesh as mesh_lib
             rep = mesh_lib.replicated(mesh)
@@ -188,6 +172,137 @@ class DeviceDataset:
             yield self._gather_mesh(self.planes, jnp.asarray(songs),
                                     jnp.asarray(starts),
                                     jnp.asarray(weight))
+
+
+def _pack_planes(host: PatchDataset) -> Dict[str, np.ndarray]:
+    """The (S, F, T_max) float32 plane boxes shared by both resident
+    datasets: magnitudes straight from the mmaps, angles from the host's
+    once-per-song cache (the single shared angle computation — see
+    ``PatchDataset._song_angles``), short songs zero-padded."""
+    lo = 1 if host.drop_dc else 0
+    lens = [host.song_length(i) for i in range(host.n_songs)]
+    t_max = max(max(lens), host.input_len)
+    rows = int(host._song_arrays(host.file_names[0])[0].shape[0])
+    planes = {k: np.zeros((host.n_songs, rows - lo, t_max), np.float32)
+              for k in _KEYS}
+    for s, name in enumerate(host.file_names):
+        mix_m, voc_m, _, _ = host._song_arrays(name)
+        t = mix_m.shape[1]
+        planes["mix"][s, :, :t] = mix_m[lo:]
+        planes["voc"][s, :, :t] = voc_m[lo:]
+        mix_a, voc_a = host._song_angles(name)
+        planes["mix_angle"][s, :, :t] = mix_a
+        planes["voc_angle"][s, :, :t] = voc_a
+    return planes
+
+
+class MultiHostDeviceDataset:
+    """Device-resident training data for multi-host (DCN) DP jobs.
+
+    Each host's song shard (``fit()`` already split the songs with
+    ``multihost.process_shard``) is committed to EVERY one of its data-axis
+    devices; each step gathers that device's quota of crops locally and the
+    per-device shards are assembled into one globally-sharded batch with
+    ``jax.make_array_from_single_device_arrays`` — the device-resident
+    mirror of ``multihost.global_batch_from_local(pad_to=...)``, down to
+    the zero rows + 0/1 ``weight`` padding (pad rows are zeroed in-kernel
+    by the weight multiply).  Per-step DCN/host traffic: two (B_local,)
+    int32 vectors per host.  No collective touches the data path, so hosts
+    stay in lockstep exactly as with the host pipeline.
+
+    HBM cost: the host's local planes are replicated on each of its
+    ``local_quota`` devices (each device needs random access to every local
+    song).  The ``fit()`` gate caps the PER-DEVICE footprint.
+    """
+
+    def __init__(self, host: PatchDataset, mesh, pad_to: int,
+                 axis_name: str = "data"):
+        from svs_tpu.parallel import mesh as mesh_lib, multihost
+
+        self.host = host
+        self.mesh = mesh
+        self.axis_name = axis_name
+        self.pad_to = int(pad_to)
+        lq = multihost.local_quota(mesh, axis_name)
+        if self.pad_to % lq:
+            raise ValueError(f"pad_to={pad_to} not a multiple of this "
+                             f"host's data-axis quota {lq}")
+        self.quota = self.pad_to // lq
+        self.global_rows = self.pad_to * jax.process_count()
+        self._sharding = mesh_lib.batch_sharded(mesh, axis_name)
+        # addressable data-axis devices ordered by the global row ranges
+        # they own under P(axis_name) — local row chunk i feeds device i,
+        # reproducing make_array_from_process_local_data's placement
+        imap = self._sharding.addressable_devices_indices_map(
+            (self.global_rows,))
+        self.local_devices = sorted(
+            imap, key=lambda d: imap[d][0].indices(self.global_rows)[0])
+        planes = _pack_planes(host)
+        self.planes_per_dev = [
+            {k: jax.device_put(v, d) for k, v in planes.items()}
+            for d in self.local_devices
+        ]
+        per_dev = sum(int(v.nbytes) for v in planes.values())
+        self.nbytes = per_dev * len(self.local_devices)
+        self.nbytes_per_device = per_dev
+        self._gather = jax.jit(functools.partial(
+            _gather_weighted, input_len=host.input_len))
+
+    def __len__(self) -> int:
+        return len(self.host)
+
+    @property
+    def input_len(self) -> int:
+        return self.host.input_len
+
+    def steps_per_epoch(self, batch_size: int,
+                        drop_last: bool = False) -> int:
+        return self.host.steps_per_epoch(batch_size, drop_last)
+
+    def batches(
+        self,
+        batch_size: int,
+        *,
+        shuffle: bool = True,
+        seed: Optional[int] = None,
+        drop_last: bool = False,
+        prefetch: int = 2,  # unused
+        n_steps: Optional[int] = None,
+    ) -> Iterator[Dict[str, jax.Array]]:
+        if batch_size > self.pad_to:
+            raise ValueError(f"local batch {batch_size} > pad_to "
+                             f"{self.pad_to}")
+        n_songs = self.host.n_songs
+        q = self.quota
+        item = next(iter(self.planes_per_dev[0].values())).shape[1:2] \
+            + (self.input_len,)
+        for idxs, starts in self.host.index_batches(
+                batch_size, shuffle=shuffle, seed=seed,
+                drop_last=drop_last, n_steps=n_steps):
+            b = len(idxs)
+            songs = np.zeros(self.pad_to, np.int32)
+            songs[:b] = np.asarray(idxs, np.int32) % n_songs
+            st = np.zeros(self.pad_to, np.int32)
+            st[:b] = starts.astype(np.int32)
+            weight = np.zeros(self.pad_to, np.float32)
+            weight[:b] = 1.0
+            shards = []
+            for i, dev in enumerate(self.local_devices):
+                sl = slice(i * q, (i + 1) * q)
+                shards.append(self._gather(
+                    self.planes_per_dev[i],
+                    jax.device_put(songs[sl], dev),
+                    jax.device_put(st[sl], dev),
+                    jax.device_put(weight[sl], dev)))
+            out = {}
+            for k in _KEYS:
+                out[k] = jax.make_array_from_single_device_arrays(
+                    (self.global_rows,) + item, self._sharding,
+                    [s[k] for s in shards])
+            out["weight"] = jax.make_array_from_single_device_arrays(
+                (self.global_rows,), self._sharding,
+                [s["weight"] for s in shards])
+            yield out
 
 
 def maybe_device_dataset(ds: Optional[PatchDataset], mode: str,

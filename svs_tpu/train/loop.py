@@ -206,6 +206,27 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
                     opts.mesh, b, pad_to=pad_to)
                 put_val = lambda b: multihost.global_batch_from_global(  # noqa: E731
                     opts.mesh, b, pad_rows_to=opts.batch_size)
+                # device-resident TRAIN data for multi-host DP: each host's
+                # song shard lives on its data-axis devices and batches
+                # arrive pre-assembled/globally-sharded; cap gates on the
+                # PER-DEVICE footprint.  Validation keeps the host pipeline
+                # (every host iterates the same global sequence).
+                if opts.device_data != "off":
+                    from svs_tpu.data import device_data as _dd
+                    per_dev = _dd.resident_bytes(train_ds)
+                    if (opts.device_data == "on"
+                            or per_dev <= opts.device_data_cap_mb * 2**20):
+                        train_ds = _dd.MultiHostDeviceDataset(
+                            train_ds, opts.mesh, pad_to)
+                        _host_put = put
+                        put = lambda b: (b if isinstance(  # noqa: E731
+                            next(iter(b.values())), jax.Array)
+                            else _host_put(b))
+                        if is_primary:
+                            print(f"[svs-tpu] device-resident dataset "
+                                  f"(multi-host): "
+                                  f"{train_ds.nbytes_per_device / 2**20:.0f}"
+                                  f" MiB/device in HBM")
             else:
                 put = lambda b: mesh_lib.shard_batch(opts.mesh, b)  # noqa: E731
                 # same distributor as multi-host validation (proven equal to

@@ -203,6 +203,64 @@ def test_two_process_fit_remainder_async(tmp_path):
     assert all(np.isfinite(float(l.split()[1])) for l in val_lines)
 
 
+def test_two_process_device_data_matches_host_pipeline(tmp_path):
+    """Multi-host device-resident data (MultiHostDeviceDataset): the
+    per-device gathered + assembled global batches equal the host
+    pipeline's global_batch_from_local(pad_to) batches BITWISE on every
+    addressable shard, and fit(device) == fit(host) bitwise on params."""
+    train_dir = str(tmp_path / "train")
+    _make_spec_dataset(train_dir, n_songs=3)  # uneven shard across 2 hosts
+    script = _PREAMBLE.format(port=_free_port()) + textwrap.dedent("""
+    from svs_tpu.data import device_data as dd
+    from svs_tpu.data.dataset import PatchDataset
+    from svs_tpu.parallel import mesh as mesh_lib, multihost
+    from svs_tpu.train.loop import TrainOptions, fit
+    from svs_tpu.utils.config import SVSConfig
+
+    mesh = mesh_lib.make_mesh()
+    train_dir = {train_dir!r}
+
+    # --- batch-level: device == host distributor, shard by shard
+    ds = PatchDataset(train_dir, samples_per_song=2, input_len=64)
+    ds.file_names = multihost.process_shard(ds.file_names)
+    pad_to = 4  # local_bs 3 padded to the 2-device quota multiple
+    dev = dd.MultiHostDeviceDataset(ds, mesh, pad_to)
+    host_stream = ds.batches(3, seed=11, n_steps=3)
+    dev_stream = dev.batches(3, seed=11, n_steps=3)
+    for hb, db in zip(host_stream, dev_stream):
+        want = multihost.global_batch_from_local(mesh, hb, pad_to=pad_to)
+        for k in ("mix", "voc", "mix_angle", "voc_angle", "weight"):
+            ws = {{s.device: s.data for s in want[k].addressable_shards}}
+            for s in db[k].addressable_shards:
+                np.testing.assert_array_equal(
+                    np.asarray(s.data), np.asarray(ws[s.device]),
+                    err_msg=f"{{k}} on {{s.device}}")
+
+    # --- fit-level: identical trajectories (batch 5 -> remainder + pad)
+    def run(mode, tag):
+        return fit(TrainOptions(
+            train_folder=train_dir, valid_folder="missing",
+            label=tag, epoch=2, batch_size=5, val_interval=99,
+            ckpt_dir=f"CKPT_{{tag}}", log_dir=f"LOG_{{tag}}",
+            load_path="none", progress=False, mesh=mesh,
+            device_data=mode,
+        ), SVSConfig(samples_per_song=2, input_len=64, dropout_rate=0.0))
+
+    s_host = run("off", "h")
+    s_dev = run("on", "d")
+    assert int(s_host.step) == int(s_dev.step)
+    for a, b in zip(jax.tree.leaves(s_host.params),
+                    jax.tree.leaves(s_dev.params)):
+        for sa, sb in zip(a.addressable_shards, b.addressable_shards):
+            np.testing.assert_array_equal(np.asarray(sa.data),
+                                          np.asarray(sb.data))
+    print("MH_DEVICE_DATA_OK")
+    """.format(train_dir=train_dir))
+    outs = _run_pair(script, tmp_path, timeout=900)
+    for out in outs:
+        assert "MH_DEVICE_DATA_OK" in out
+
+
 def test_two_process_kill_one_lockstep_exit(tmp_path):
     """SIGTERM delivered to ONE host only: the coordinated stop flag
     (multihost.any_flag at every step boundary) makes BOTH hosts save and
