@@ -352,7 +352,13 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
                     # mid-epoch: save with epoch=ep so resume re-runs this epoch
                     _preempt_exit(ep)
 
-            losses = [float(x) for x in losses]
+            # ONE stacked device->host fetch for the epoch's losses (a
+            # per-scalar float() costs one link round-trip each — ~40 ms on
+            # tunnelled rigs, i.e. ~0.5 s/epoch of pure RTT at 12 steps)
+            if losses:
+                import jax.numpy as jnp
+                losses = np.asarray(
+                    jax.device_get(jnp.stack(losses))).tolist()
             avg_train_loss = float(np.mean(losses)) if losses else float("nan")
             log_buffer.append(f"{avg_train_loss}\n")
             loss_history.append(avg_train_loss)
@@ -381,7 +387,11 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
                                               seed=opts.seed,
                                               **val_batch_kwargs):
                     aux = eval_step(state, put_val(batch))
-                    val_losses.append(float(aux["total"]))
+                    val_losses.append(aux["total"])  # device scalar
+                if val_losses:
+                    import jax.numpy as jnp
+                    val_losses = np.asarray(
+                        jax.device_get(jnp.stack(val_losses))).tolist()
                 # the eval loss is a GLOBAL mean under the mesh sharding, so
                 # avg_val_loss (and the best-ckpt decision) is identical on
                 # every host — no cross-host reduction needed here...
