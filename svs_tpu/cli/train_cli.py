@@ -61,6 +61,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "gather crops on-device (single-process mesh-free "
                         "runs; 'auto' gates on --device_data_cap_mb)")
     p.add_argument("--device_data_cap_mb", type=float, default=2048.0)
+    p.add_argument("--epoch_scan", action="store_true",
+                   help="run each epoch as ONE jitted lax.scan over the "
+                        "HBM-resident crops (one dispatch + one loss fetch "
+                        "per epoch; requires --device_data on/auto, "
+                        "single process, no mesh)")
     return p
 
 
@@ -105,6 +110,7 @@ def main(argv=None) -> int:
         parallel="cp" if args.cp else "dp",
         device_data=args.device_data,
         device_data_cap_mb=args.device_data_cap_mb,
+        epoch_scan=args.epoch_scan,
     )
     fit(opts, cfg)
     return 0

@@ -53,12 +53,12 @@ def resident_bytes(ds: PatchDataset) -> int:
     return 4 * ds.n_songs * f * t_max * 4
 
 
-@functools.partial(jax.jit, static_argnames=("input_len",))
-def _gather(planes: Dict[str, jax.Array], songs: jax.Array,
-            starts: jax.Array, input_len: int) -> Dict[str, jax.Array]:
+def gather_crops(planes: Dict[str, jax.Array], songs: jax.Array,
+                 starts: jax.Array, input_len: int) -> Dict[str, jax.Array]:
     """(B,) song indices + (B,) crop offsets -> dict of (B, F, L) crops,
     entirely on-device (one dynamic_slice per example per plane; XLA lowers
-    the batch to a dynamic gather — no host traffic)."""
+    the batch to a dynamic gather — no host traffic).  Pure/traceable: the
+    epoch-scan path (``train/scan.py``) inlines it in a scan body."""
     def one(i, s):
         return {
             k: lax.dynamic_slice(p, (i, 0, s),
@@ -66,6 +66,9 @@ def _gather(planes: Dict[str, jax.Array], songs: jax.Array,
             for k, p in planes.items()
         }
     return jax.vmap(one)(songs, starts)
+
+
+_gather = jax.jit(gather_crops, static_argnames=("input_len",))
 
 
 def _gather_weighted(planes: Dict[str, jax.Array], songs: jax.Array,
@@ -77,7 +80,7 @@ def _gather_weighted(planes: Dict[str, jax.Array], songs: jax.Array,
     identity and x*0.0 (+0.0 sums) is exact in IEEE, so the weighted step
     reductions match the host pipeline bit-for-bit.  The ``weight`` key
     rides along like the host distributors attach it."""
-    out = _gather(planes, songs, starts, input_len=input_len)
+    out = gather_crops(planes, songs, starts, input_len=input_len)
     out = {k: v * weight[:, None, None] for k, v in out.items()}
     out["weight"] = weight
     return out
@@ -132,6 +135,16 @@ class DeviceDataset:
     def steps_per_epoch(self, batch_size: int,
                         drop_last: bool = False) -> int:
         return self.host.steps_per_epoch(batch_size, drop_last)
+
+    def gather(self, songs: np.ndarray, starts: np.ndarray
+               ) -> Dict[str, jax.Array]:
+        """One ad-hoc gathered batch at explicit (song, start) indices
+        (mesh-free mode; the epoch-scan path uses this for the ragged tail
+        batch)."""
+        assert self.mesh is None
+        return _gather(self.planes, jnp.asarray(songs, jnp.int32),
+                       jnp.asarray(starts, jnp.int32),
+                       input_len=self.input_len)
 
     def batches(
         self,
@@ -303,6 +316,32 @@ class MultiHostDeviceDataset:
                 (self.global_rows,), self._sharding,
                 [s["weight"] for s in shards])
             yield out
+
+
+def epoch_index_arrays(ds: PatchDataset, batch_size: int, *,
+                       shuffle: bool = True, seed=None,
+                       drop_last: bool = False, n_steps=None):
+    """The epoch's index stream as stacked ``(n_full, B)`` int32 arrays of
+    (song, start) pairs, plus the ragged tail batch (or None) — the input
+    layout of the epoch-scan path (one ``lax.scan`` over all the full
+    batches; the tail reuses the per-step program).  Same single RNG
+    sequence as every other backend (``index_batches``)."""
+    n_songs = ds.n_songs
+    songs_l, starts_l, tail = [], [], None
+    for idxs, starts in ds.index_batches(batch_size, shuffle=shuffle,
+                                         seed=seed, drop_last=drop_last,
+                                         n_steps=n_steps):
+        if len(idxs) == batch_size:
+            songs_l.append(np.asarray(idxs, np.int32) % n_songs)
+            starts_l.append(starts.astype(np.int32))
+        else:  # only ever the final remainder batch
+            tail = (np.asarray(idxs, np.int32) % n_songs,
+                    starts.astype(np.int32))
+    songs = (np.stack(songs_l) if songs_l
+             else np.zeros((0, batch_size), np.int32))
+    starts = (np.stack(starts_l) if starts_l
+              else np.zeros((0, batch_size), np.int32))
+    return songs, starts, tail
 
 
 def maybe_device_dataset(ds: Optional[PatchDataset], mode: str,

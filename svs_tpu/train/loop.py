@@ -69,6 +69,16 @@ class TrainOptions:
     # the host pipeline's (shared index stream, tested)
     device_data: str = "auto"  # "auto" | "on" | "off"
     device_data_cap_mb: float = 2048.0
+    # whole-epoch-in-one-jit training (train/scan.py): lax.scan the step
+    # over the HBM-resident crops — one dispatch and one loss fetch per
+    # EPOCH.  Removes the ~5 ms/step dispatch overhead the device-resident
+    # pipeline still pays on slow links.  Requires device_data on a
+    # single-process mesh-free run.  Off by default: the scanned program's
+    # numerics match the per-step loop only to float tolerance (XLA may
+    # fuse the scan body differently), while device_data alone is
+    # bit-identical to the host pipeline.  Preemption granularity becomes
+    # per-epoch (no per-step host boundary to stop at).
+    epoch_scan: bool = False
     mesh: Optional[object] = None  # jax Mesh -> distributed training
     # with a mesh: "dp" shards the BATCH axis (default), "cp" shards the
     # TIME axis of every patch with halo exchange (context parallelism for
@@ -238,6 +248,17 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
     else:
         train_step = make_train_step(cfg, optimizer)
 
+    epoch_fn = None
+    if opts.epoch_scan:
+        if not (dd is not None and isinstance(train_ds, dd.DeviceDataset)
+                and train_ds.mesh is None):
+            raise ValueError(
+                "epoch_scan requires the device-resident dataset on a "
+                "single-process, mesh-free run (device_data='on'/'auto' "
+                "with the dataset under the HBM cap)")
+        from svs_tpu.train.scan import make_epoch_scan
+        epoch_fn = make_epoch_scan(cfg, optimizer)
+
     val_batch_kwargs = {}
     if dd is not None:
         # device-resident batches are already placed (and, under a DP mesh,
@@ -334,23 +355,41 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
             losses = []
             # per-host seed: hosts shard the songs, so identical seeds would
             # only correlate crop offsets; still mixed in for independence
-            batches = train_ds.batches(
-                local_bs, shuffle=True,
-                seed=opts.seed * 100003 + ep + jax.process_index() * 7919,
-                n_steps=train_steps)
-            if opts.progress and is_primary:
-                from tqdm import tqdm
-                batches = tqdm(batches, desc=f"Epoch {ep+1}/{opts.epoch} [Train]",
-                               total=(train_steps if train_steps is not None
-                                      else train_ds.steps_per_epoch(local_bs)),
-                               leave=False)
-            for i, batch in enumerate(batches):
-                rng, sub = jax.random.split(rng)
-                state, aux = train_step(state, put(batch), sub)
-                losses.append(aux["total"])  # device scalar; fetched lazily
-                if _should_stop():
-                    # mid-epoch: save with epoch=ep so resume re-runs this epoch
-                    _preempt_exit(ep)
+            epoch_seed = opts.seed * 100003 + ep + jax.process_index() * 7919
+            if epoch_fn is not None:
+                # whole epoch in one jitted scan (the same index stream and
+                # rng-split sequence as the per-step path below)
+                songs_a, starts_a, tail = dd.epoch_index_arrays(
+                    train_ds.host, local_bs, shuffle=True, seed=epoch_seed,
+                    n_steps=train_steps)
+                if len(songs_a):
+                    state, rng, loss_vec = epoch_fn(
+                        state, train_ds.planes, songs_a, starts_a, rng)
+                    losses = list(loss_vec)  # device slices; fetched below
+                if tail is not None:  # ragged last batch: per-step program
+                    rng, sub = jax.random.split(rng)
+                    state, aux = train_step(
+                        state, train_ds.gather(tail[0], tail[1]), sub)
+                    losses.append(aux["total"])
+            else:
+                batches = train_ds.batches(
+                    local_bs, shuffle=True, seed=epoch_seed,
+                    n_steps=train_steps)
+                if opts.progress and is_primary:
+                    from tqdm import tqdm
+                    batches = tqdm(batches,
+                                   desc=f"Epoch {ep+1}/{opts.epoch} [Train]",
+                                   total=(train_steps if train_steps is not None
+                                          else train_ds.steps_per_epoch(local_bs)),
+                                   leave=False)
+                for i, batch in enumerate(batches):
+                    rng, sub = jax.random.split(rng)
+                    state, aux = train_step(state, put(batch), sub)
+                    losses.append(aux["total"])  # device scalar; fetched lazily
+                    if _should_stop():
+                        # mid-epoch: save with epoch=ep so resume re-runs
+                        # this epoch
+                        _preempt_exit(ep)
 
             # ONE stacked device->host fetch for the epoch's losses (a
             # per-scalar float() costs one link round-trip each — ~40 ms on

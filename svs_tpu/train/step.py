@@ -66,13 +66,12 @@ def get_learning_rate(state: TrainState) -> float:
     return float(state.opt_state.hyperparams["learning_rate"])
 
 
-def make_train_step(cfg: Optional[SVSConfig] = None,
-                    optimizer: Optional[optax.GradientTransformation] = None):
-    """Returns jitted ``step(state, batch, rng) -> (state, metrics)``.
-
-    batch: dict of (B, 512, T) float32 — mix, voc, mix_angle, voc_angle
-    (the sampler's output, reference train.py:265-268).
-    """
+def make_step_fn(cfg: Optional[SVSConfig] = None,
+                 optimizer: Optional[optax.GradientTransformation] = None):
+    """The UNJITTED ``step(state, batch, rng) -> (state, metrics)`` body —
+    one optimisation step as a pure function.  ``make_train_step`` wraps it
+    in ``jax.jit``; the epoch-scan path (``train/scan.py``) traces it as a
+    ``lax.scan`` body instead, so both modes share one definition."""
     cfg = cfg or SVSConfig()
     optimizer = optimizer or make_optimizer(cfg)
 
@@ -88,9 +87,6 @@ def make_train_step(cfg: Optional[SVSConfig] = None,
         )
         return total, (new_bn, aux)
 
-    # donate the input TrainState: params/opt-state buffers are overwritten
-    # in place instead of double-buffered (halves peak optimizer memory)
-    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array
              ) -> Tuple[TrainState, Dict[str, jax.Array]]:
         grads, (new_bn, aux) = jax.grad(loss_fn, has_aux=True)(
@@ -104,6 +100,18 @@ def make_train_step(cfg: Optional[SVSConfig] = None,
         return new_state, aux
 
     return step
+
+
+def make_train_step(cfg: Optional[SVSConfig] = None,
+                    optimizer: Optional[optax.GradientTransformation] = None):
+    """Returns jitted ``step(state, batch, rng) -> (state, metrics)``.
+
+    batch: dict of (B, 512, T) float32 — mix, voc, mix_angle, voc_angle
+    (the sampler's output, reference train.py:265-268).
+    """
+    # donate the input TrainState: params/opt-state buffers are overwritten
+    # in place instead of double-buffered (halves peak optimizer memory)
+    return jax.jit(make_step_fn(cfg, optimizer), donate_argnums=(0,))
 
 
 def make_eval_step(cfg: Optional[SVSConfig] = None):

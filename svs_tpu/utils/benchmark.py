@@ -190,7 +190,8 @@ def decode_device_bench(params=None, bn_state=None, cfg=None,
 
 def train_epoch_bench(cfg=None, batch_size: int = 32, n_songs: int = 4,
                       song_frames: int = 1500, epochs: int = 2,
-                      seed: int = 0, device_resident: bool = False) -> Dict:
+                      seed: int = 0, device_resident: bool = False,
+                      epoch_scan: bool = False) -> Dict:
     """End-to-end training throughput: epoch wall time and patches/sec over
     a real on-disk PatchDataset — host sampling + patch assembly +
     host->device transfer + the jitted step, i.e. exactly what ``fit()``
@@ -201,7 +202,10 @@ def train_epoch_bench(cfg=None, batch_size: int = 32, n_songs: int = 4,
     ``device_resident=True`` benches fit()'s device-data mode instead
     (data/device_data.py: dataset in HBM, crops gathered on-device) —
     fields get a ``_device`` suffix.  The host-pipeline number is
-    link-bound on tunnelled rigs; the device-resident one is chip-bound."""
+    link-bound on tunnelled rigs; the device-resident one is chip-bound.
+    ``epoch_scan=True`` (implies device_resident) benches the
+    whole-epoch-in-one-jit mode (train/scan.py) — fields get a ``_scan``
+    suffix."""
     import shutil
     import tempfile
 
@@ -232,28 +236,49 @@ def train_epoch_bench(cfg=None, batch_size: int = 32, n_songs: int = 4,
 
         ds = PatchDataset(work, samples_per_song=cfg.samples_per_song,
                           input_len=cfg.input_len)
-        if device_resident:
+        if device_resident or epoch_scan:
             from svs_tpu.data.device_data import DeviceDataset
             ds = DeviceDataset(ds)
         state = create_train_state(jax.random.key(0), cfg)
-        step = make_train_step(cfg)
         key = jax.random.key(1)
 
-        def run_epoch(ep):
-            nonlocal state
-            aux = None
-            for batch in ds.batches(batch_size, shuffle=True,
-                                    seed=seed * 7 + ep):
-                state, aux = step(state, batch, key)
-            # same completion semantics as fit(): losses fetched per epoch
-            fetch_barrier(aux["total"])
+        if epoch_scan:
+            from svs_tpu.data.device_data import epoch_index_arrays
+            from svs_tpu.train.scan import make_epoch_scan
+            epoch_fn = make_epoch_scan(cfg)
+            step = make_train_step(cfg)
+
+            def run_epoch(ep):
+                nonlocal state, key
+                songs, starts, tail = epoch_index_arrays(
+                    ds.host, batch_size, shuffle=True, seed=seed * 7 + ep)
+                state, key, losses = epoch_fn(state, ds.planes, songs,
+                                              starts, key)
+                barrier = losses[-1]
+                if tail is not None:
+                    key, sub = jax.random.split(key)
+                    state, aux = step(state, ds.gather(*tail), sub)
+                    barrier = aux["total"]
+                fetch_barrier(barrier)
+        else:
+            step = make_train_step(cfg)
+
+            def run_epoch(ep):
+                nonlocal state
+                aux = None
+                for batch in ds.batches(batch_size, shuffle=True,
+                                        seed=seed * 7 + ep):
+                    state, aux = step(state, batch, key)
+                # same completion semantics as fit(): losses fetched per epoch
+                fetch_barrier(aux["total"])
 
         run_epoch(0)  # warmup: compiles (full + any remainder signature)
         t0 = time.perf_counter()
         for ep in range(1, epochs + 1):
             run_epoch(ep)
         secs = (time.perf_counter() - t0) / epochs
-        sfx = "_device" if device_resident else ""
+        sfx = ("_scan" if epoch_scan
+               else "_device" if device_resident else "")
         return {
             f"train_epoch{sfx}_secs": round(secs, 2),
             f"train_epoch{sfx}_patches": len(ds),
@@ -341,4 +366,8 @@ def run_bench(secs: float = 240.0, reps: int = 8, seed: int = 0,
             result.update(train_epoch_bench(cfg, device_resident=True))
         except Exception as e:
             result["train_epoch_device_bench_error"] = repr(e)
+        try:
+            result.update(train_epoch_bench(cfg, epoch_scan=True))
+        except Exception as e:
+            result["train_epoch_scan_bench_error"] = repr(e)
     return result
