@@ -100,22 +100,44 @@ class DeviceDataset:
     multiple + 0/1 ``weight``), so batches feed ``dp.make_dp_train_step``
     directly: per-step host traffic for DP training is still just the two
     (B,) index vectors.
+
+    ``time_sharded`` (with ``mesh``): CP mode — batches come out with the
+    TIME axis sharded and a replicated all-ones ``weight``, exactly
+    ``halo.shard_batch_time``'s layout, so they feed
+    ``halo.make_cp_train_step`` with no host hop and no dev0 bounce.
     """
 
-    def __init__(self, host: PatchDataset, mesh=None, axis_name: str = "data"):
+    def __init__(self, host: PatchDataset, mesh=None, axis_name: str = "data",
+                 time_sharded: bool = False):
         self.host = host
         self.mesh = mesh
+        self.time_sharded = bool(time_sharded)
         planes = _pack_planes(host)
+        if time_sharded:
+            if mesh is None:
+                raise ValueError("time_sharded requires a mesh")
+            n = int(mesh.devices.size)
+            if host.input_len % (64 * n):
+                raise ValueError(
+                    f"time_sharded: input_len {host.input_len} must be a "
+                    f"multiple of {64 * n} (64 frames per stride-2 level "
+                    f"x {n} shards — halo.shard_batch_time's constraint)")
         if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
             from svs_tpu.parallel import mesh as mesh_lib
             rep = mesh_lib.replicated(mesh)
             self.planes = {k: jax.device_put(v, rep)
                            for k, v in planes.items()}
-            bsh = mesh_lib.batch_sharded(mesh, axis_name)
+            if time_sharded:
+                tsh = NamedSharding(mesh, P(None, None, axis_name))
+                out_sh = {k: tsh for k in _KEYS}
+                out_sh["weight"] = rep
+            else:
+                out_sh = mesh_lib.batch_sharded(mesh, axis_name)
             self._gather_mesh = jax.jit(
                 functools.partial(_gather_weighted,
                                   input_len=host.input_len),
-                out_shardings=bsh)
+                out_shardings=out_sh)
         else:
             self.planes = {k: jax.device_put(v) for k, v in planes.items()}
         self.nbytes = sum(int(v.nbytes) for v in self.planes.values())
@@ -173,6 +195,11 @@ class DeviceDataset:
                               jnp.asarray(starts), self.input_len)
                 continue
             b = len(songs)
+            if self.time_sharded:  # CP: whole batch, all-ones weight
+                yield self._gather_mesh(self.planes, jnp.asarray(songs),
+                                        jnp.asarray(starts),
+                                        jnp.ones(b, jnp.float32))
+                continue
             n_dev = int(self.mesh.devices.size)
             padded = -(-max(b, pad_rows_to or 0) // n_dev) * n_dev
             weight = np.zeros(padded, np.float32)
@@ -345,7 +372,8 @@ def epoch_index_arrays(ds: PatchDataset, batch_size: int, *,
 
 
 def maybe_device_dataset(ds: Optional[PatchDataset], mode: str,
-                         cap_mb: float, mesh=None) -> Optional[object]:
+                         cap_mb: float, mesh=None,
+                         time_sharded: bool = False) -> Optional[object]:
     """Gate for the fit() integration: returns a DeviceDataset when
     ``mode`` is "on", or "auto" and the resident footprint fits ``cap_mb``;
     otherwise the host dataset unchanged.  ("off" -> host dataset.)"""
@@ -355,4 +383,4 @@ def maybe_device_dataset(ds: Optional[PatchDataset], mode: str,
         raise ValueError(f"device_data must be on/off/auto, got {mode!r}")
     if mode == "auto" and resident_bytes(ds) > cap_mb * 2**20:
         return ds
-    return DeviceDataset(ds, mesh=mesh)
+    return DeviceDataset(ds, mesh=mesh, time_sharded=time_sharded)

@@ -150,15 +150,30 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
     # global arrays from per-host rows; CP keeps it because its batches are
     # time-sharded, not batch-sharded)
     dd = None
-    if (pc == 1 and opts.device_put is None and opts.device_data != "off"
-            and (opts.mesh is None or opts.parallel == "dp")):
+    if pc == 1 and opts.device_put is None and opts.device_data != "off":
         from svs_tpu.data import device_data as dd
-        train_ds = dd.maybe_device_dataset(train_ds, opts.device_data,
-                                           opts.device_data_cap_mb,
-                                           mesh=opts.mesh)
-        valid_ds = dd.maybe_device_dataset(valid_ds, opts.device_data,
-                                           opts.device_data_cap_mb,
-                                           mesh=opts.mesh)
+        is_cp = opts.mesh is not None and opts.parallel == "cp"
+        if is_cp:
+            # CP: gathered batches come out TIME-sharded (the
+            # halo.shard_batch_time layout), straight into the cp step.
+            # "auto" falls back to the host pipeline when input_len doesn't
+            # meet the halo divisibility constraint; "on" raises loudly.
+            # Validation keeps the host pipeline: the whole-batch eval
+            # program runs replicated against the mesh-replicated state,
+            # which an uncommitted numpy batch gives for free.
+            divisible = train_ds.input_len % \
+                (64 * int(opts.mesh.devices.size)) == 0
+            if divisible or opts.device_data == "on":
+                train_ds = dd.maybe_device_dataset(
+                    train_ds, opts.device_data, opts.device_data_cap_mb,
+                    mesh=opts.mesh, time_sharded=True)
+        else:
+            train_ds = dd.maybe_device_dataset(train_ds, opts.device_data,
+                                               opts.device_data_cap_mb,
+                                               mesh=opts.mesh)
+            valid_ds = dd.maybe_device_dataset(valid_ds, opts.device_data,
+                                               opts.device_data_cap_mb,
+                                               mesh=opts.mesh)
         if isinstance(train_ds, dd.DeviceDataset):
             print(f"[svs-tpu] device-resident dataset: "
                   f"{train_ds.nbytes / 2**20:.0f} MiB in HBM")

@@ -366,8 +366,8 @@ def run_bench(secs: float = 240.0, reps: int = 8, seed: int = 0,
             result.update(train_epoch_bench(cfg, device_resident=True))
         except Exception as e:
             result["train_epoch_device_bench_error"] = repr(e)
-        try:
-            result.update(train_epoch_bench(cfg, epoch_scan=True))
-        except Exception as e:
-            result["train_epoch_scan_bench_error"] = repr(e)
+        # the epoch_scan variant is NOT in the default line: measured ~equal
+        # to the per-step device pipeline (ROUND_NOTES r3) and its scanned
+        # program is one more multi-minute cold remote compile per bench
+        # run.  Reach it via train_epoch_bench(epoch_scan=True).
     return result

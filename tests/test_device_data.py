@@ -128,7 +128,7 @@ def test_fit_dp_mesh_device_equals_host(tmp_path):
     valid_dir = str(tmp_path / "valid")
     _make_spec_dataset(train_dir, frames=(200, 90), seed=0)
     _make_spec_dataset(valid_dir, frames=(150,), seed=1)
-    cfg = SVSConfig(samples_per_song=3)  # 6 items, B=4 -> remainder batch
+    cfg = SVSConfig(samples_per_song=3, input_len=64)  # 6 items, B=4 -> remainder
 
     def run(mode, tag):
         opts = TrainOptions(
@@ -149,6 +149,48 @@ def test_fit_dp_mesh_device_equals_host(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_fit_cp_mesh_device_equals_host(tmp_path):
+    """Context-parallel training with device-resident data: the gather
+    emits TIME-sharded batches (halo.shard_batch_time layout) and fit()
+    reproduces the host-pipeline CP run bitwise."""
+    from svs_tpu.parallel import halo, mesh as mesh_lib
+    from svs_tpu.train.loop import TrainOptions, fit
+
+    mesh = mesh_lib.make_mesh(2)  # input_len 128 = 64 * 2 shards
+    train_dir = str(tmp_path / "train")
+    _make_spec_dataset(train_dir, frames=(200, 90), seed=0)
+    cfg = SVSConfig(samples_per_song=2)
+
+    # batch-level: time-sharded gather == shard_batch_time(host batch)
+    ds = PatchDataset(train_dir, samples_per_song=2, input_len=128)
+    dev = dd.DeviceDataset(ds, mesh=mesh, time_sharded=True)
+    for hb, db in zip(ds.batches(3, seed=9), dev.batches(3, seed=9)):
+        want = halo.shard_batch_time(mesh, hb)
+        for k in KEYS + ("weight",):
+            np.testing.assert_array_equal(np.asarray(db[k]),
+                                          np.asarray(want[k]), err_msg=k)
+            assert db[k].sharding.is_equivalent_to(
+                want[k].sharding, db[k].ndim), k
+
+    def run(mode, tag):
+        opts = TrainOptions(
+            train_folder=train_dir, valid_folder=str(tmp_path / "novalid"),
+            label=tag, epoch=2, batch_size=2,
+            ckpt_dir=str(tmp_path / f"CKPT_{tag}"),
+            log_dir=str(tmp_path / f"LOG_{tag}"),
+            load_path=str(tmp_path / "none.ckpt"), progress=False,
+            device_data=mode, mesh=mesh, parallel="cp",
+        )
+        return fit(opts, cfg)
+
+    s_host = run("off", "cph")
+    s_dev = run("on", "cpd")
+    assert int(s_host.step) == int(s_dev.step) == 4
+    for a, b in zip(jax.tree.leaves(s_host.params),
+                    jax.tree.leaves(s_dev.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_fit_device_equals_host(tmp_path):
     """fit() with the device pipeline reproduces the host-pipeline run
     EXACTLY (same jit program + bit-identical batches => bitwise-equal
@@ -157,7 +199,7 @@ def test_fit_device_equals_host(tmp_path):
 
     train_dir = str(tmp_path / "train")
     _make_spec_dataset(train_dir, frames=(200, 90), seed=0)
-    cfg = SVSConfig(samples_per_song=2)
+    cfg = SVSConfig(samples_per_song=2, input_len=64)
 
     def run(mode, tag):
         opts = TrainOptions(

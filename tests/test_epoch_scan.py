@@ -44,7 +44,7 @@ def test_fit_epoch_scan_matches_per_step(tmp_path):
     items, batch 4 -> one scanned full batch + a ragged tail every epoch."""
     train_dir = str(tmp_path / "train")
     _make_spec_dataset(train_dir, frames=(200, 90, 150))
-    cfg = SVSConfig(samples_per_song=2)
+    cfg = SVSConfig(samples_per_song=2, input_len=64)
 
     def run(scan, tag):
         opts = TrainOptions(
@@ -62,7 +62,11 @@ def test_fit_epoch_scan_matches_per_step(tmp_path):
     s_step, losses_step = run(False, "st")
     s_scan, losses_scan = run(True, "sc")
     assert int(s_step.step) == int(s_scan.step) == 4
-    np.testing.assert_allclose(losses_scan, losses_step, rtol=1e-5)
+    # epoch 1 runs from identical params on identical batches — tight;
+    # later epochs see the bf16-eps param divergence compound, so the
+    # trajectory bound is looser (measured ~2e-5 rel at epoch 2)
+    np.testing.assert_allclose(losses_scan[0], losses_step[0], rtol=2e-6)
+    np.testing.assert_allclose(losses_scan, losses_step, rtol=1e-4)
     # params: the per-element comparison is Adam's near-zero-gradient
     # envelope, not a straight allclose — under bf16 compute the two
     # compilations' gradients differ at bf16 eps, and for |g| ~ 0 the Adam
@@ -93,7 +97,7 @@ def test_epoch_scan_requires_device_data(tmp_path):
         device_data="off", epoch_scan=True,
     )
     with pytest.raises(ValueError, match="epoch_scan requires"):
-        fit(opts, SVSConfig(samples_per_song=1))
+        fit(opts, SVSConfig(samples_per_song=1, input_len=64))
 
 
 def test_epoch_scan_bench_fields():
