@@ -1,7 +1,7 @@
 """Evaluate a (possibly interrupted) convergence-demo run from its latest
 checkpoint: loss trajectory from the text log + held-out SDR/NSDR.
 
-Run:  python scripts/demo_eval.py <workdir> [ckpt]
+Run:  python scripts/demo_eval.py <workdir> [ckpt] [dtype]
 Complements scripts/convergence_demo.py — a run cut by a wall-clock limit
 still has per-`save_every` checkpoints; this reproduces the summary the
 demo would have printed (reference workflow: train -> separate -> evaluate).
@@ -46,10 +46,13 @@ def main():
             elif line.strip():
                 train_losses.append(float(line.strip()))
 
+    # a run interrupted before its first full epoch has an empty log; an
+    # epoch-0 checkpoint predates any logged loss — report None, not the
+    # last logged value
     results = {"ckpt_epoch": epoch, "compute_dtype": cfg.compute_dtype,
-               "loss_first": train_losses[0],
-               "loss_at_ckpt": train_losses[epoch - 1]
-               if epoch <= len(train_losses) else train_losses[-1],
+               "loss_first": train_losses[0] if train_losses else None,
+               "loss_at_ckpt": train_losses[min(epoch, len(train_losses)) - 1]
+               if train_losses and epoch > 0 else None,
                "val_best": min(val_losses) if val_losses else None,
                "per_song": []}
 

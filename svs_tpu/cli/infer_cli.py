@@ -32,6 +32,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "'overlap': 50%%-overlap windows with triangular "
                         "crossfade (no segment seams)")
     p.add_argument("--preset", type=str, default="default")
+    p.add_argument("--dtype", type=str, default=None,
+                   choices=[None, "float32", "bfloat16"],
+                   help="override the preset's conv compute dtype — the "
+                        "shipped presets run bfloat16 (~1e-3 relative "
+                        "output difference); pass float32 for bit-level "
+                        "reference parity (parity with the executed "
+                        "reference program is pinned at this setting, "
+                        "tests/test_reference_program.py)")
     return p
 
 
@@ -55,6 +63,9 @@ def main(argv=None) -> int:
     from svs_tpu.utils.config import get_config
 
     cfg = get_config(args.preset)
+    if args.dtype:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, compute_dtype=args.dtype)
     os.makedirs(args.tar, exist_ok=True)
 
     try:

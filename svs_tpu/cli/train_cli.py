@@ -58,8 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--device_data", type=str, default="auto",
                    choices=["auto", "on", "off"],
                    help="keep the spectrogram dataset HBM-resident and "
-                        "gather crops on-device (single-process mesh-free "
-                        "runs; 'auto' gates on --device_data_cap_mb)")
+                        "gather crops on-device — applies to single-chip, "
+                        "--dp mesh, --cp mesh and multi-host DP runs "
+                        "('auto' gates on --device_data_cap_mb, per device "
+                        "on multi-host)")
     p.add_argument("--device_data_cap_mb", type=float, default=2048.0)
     p.add_argument("--epoch_scan", action="store_true",
                    help="run each epoch as ONE jitted lax.scan over the "

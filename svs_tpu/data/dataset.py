@@ -28,6 +28,12 @@ from typing import Dict, Iterator, List, Optional, Tuple
 import numpy as np
 
 
+# the batch dict's plane keys, in stacking order — single source of truth
+# for every pipeline backend (host batches, device_data gathers, halo CP
+# sharding specs)
+PLANE_KEYS = ("mix", "voc", "mix_angle", "voc_angle")
+
+
 class PatchDataset:
     def __init__(
         self,
@@ -280,8 +286,7 @@ class PatchDataset:
                                  for i, s in zip(idxs, starts)]
                         batch = {
                             k: np.stack([it[j] for it in items])
-                            for j, k in enumerate(
-                                ("mix", "voc", "mix_angle", "voc_angle"))
+                            for j, k in enumerate(PLANE_KEYS)
                         }
                     q.put(batch)
                 q.put(None)

@@ -37,9 +37,9 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from svs_tpu.data.dataset import PatchDataset
+from svs_tpu.data.dataset import PatchDataset, PLANE_KEYS
 
-_KEYS = ("mix", "voc", "mix_angle", "voc_angle")
+_KEYS = PLANE_KEYS
 
 
 def resident_bytes(ds: PatchDataset) -> int:
@@ -112,7 +112,8 @@ class DeviceDataset:
         self.host = host
         self.mesh = mesh
         self.time_sharded = bool(time_sharded)
-        planes = _pack_planes(host)
+        # validate BEFORE _pack_planes: the loud config error must not cost
+        # a full-dataset host-RAM pack first
         if time_sharded:
             if mesh is None:
                 raise ValueError("time_sharded requires a mesh")
@@ -122,6 +123,7 @@ class DeviceDataset:
                     f"time_sharded: input_len {host.input_len} must be a "
                     f"multiple of {64 * n} (64 frames per stride-2 level "
                     f"x {n} shards — halo.shard_batch_time's constraint)")
+        planes = _pack_planes(host)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             from svs_tpu.parallel import mesh as mesh_lib
@@ -233,6 +235,10 @@ def _pack_planes(host: PatchDataset) -> Dict[str, np.ndarray]:
         mix_a, voc_a = host._song_angles(name)
         planes["mix_angle"][s, :, :t] = mix_a
         planes["voc_angle"][s, :, :t] = voc_a
+    # release the host-side per-song angle cache (~10 MB/song): the
+    # resident planes now hold those values, and any later host-pipeline
+    # use just recomputes identical entries (np.angle is deterministic)
+    host._angles.clear()
     return planes
 
 

@@ -157,16 +157,47 @@ def _sharded_forward_train(params, bn_state, mix, rng, cfg: SVSConfig,
     x = mix[..., None].astype(jnp.float32)
     new_state = {"enc": [], "dec": []}
     skips = []
-    for p, s in zip(params["enc"], bn_state["enc"]):
+
+    def enc_level(p, s, x):
         xh = _halo_exchange(x, 2, axis_name)
-        x = jax.lax.conv_general_dilated(
+        y = jax.lax.conv_general_dilated(
             xh.astype(cdtype), p["w"].astype(cdtype),
             window_strides=(2, 2), padding=((2, 2), (0, 0)),
             dimension_numbers=_DN,
         ) + p["b"].astype(cdtype)
-        x, m, v = _bn_train_global(x, p, s, cfg.bn_eps, cfg.bn_momentum,
+        y, m, v = _bn_train_global(y, p, s, cfg.bn_eps, cfg.bn_momentum,
                                    axis_name, weight)
-        x = jnp.where(x >= 0, x, cfg.leaky_slope * x)
+        y = jnp.where(y >= 0, y, cfg.leaky_slope * y)
+        return y, m, v
+
+    def dec_level(p, s, inp, key, last):
+        ih = _halo_exchange(inp, 1, axis_name)
+        y = jax.lax.conv_general_dilated(
+            ih.astype(cdtype), p["w"].astype(cdtype),
+            window_strides=(1, 1), padding=((2, 3), (0, 1)),
+            lhs_dilation=(2, 2), dimension_numbers=_DN,
+        ) + p["b"].astype(cdtype)
+        if last:
+            return y, None, None
+        y, m, v = _bn_train_global(y, p, s, cfg.bn_eps, cfg.bn_momentum,
+                                   axis_name, weight)
+        y = jnp.maximum(y, 0.0)
+        # Dropout2d masks are (B, 1, 1, C): broadcast over time, so the
+        # same per-level key on every shard IS the unsharded mask
+        y = unet._dropout2d(y, cfg.dropout_rate, key)
+        return y, m, v
+
+    if cfg.remat:
+        # same tradeoff as the unsharded path (unet.py:340-345, measured at
+        # the fine_tune long-patch geometry): recompute each level in the
+        # backward — including its halo ppermute, which re-executes
+        # symmetrically on every shard, keeping collective call counts
+        # lockstep — instead of storing its activations
+        enc_level = jax.checkpoint(enc_level)
+        dec_level = jax.checkpoint(dec_level, static_argnums=(4,))
+
+    for p, s in zip(params["enc"], bn_state["enc"]):
+        x, m, v = enc_level(p, s, x)
         new_state["enc"].append(dict(mean=m, var=v))
         skips.append(x)
 
@@ -174,19 +205,10 @@ def _sharded_forward_train(params, bn_state, mix, rng, cfg: SVSConfig,
     for i, p in enumerate(params["dec"]):
         inp = skips[5] if i == 0 else jnp.concatenate([x, skips[5 - i]],
                                                       axis=-1)
-        ih = _halo_exchange(inp, 1, axis_name)
-        x = jax.lax.conv_general_dilated(
-            ih.astype(cdtype), p["w"].astype(cdtype),
-            window_strides=(1, 1), padding=((2, 3), (0, 1)),
-            lhs_dilation=(2, 2), dimension_numbers=_DN,
-        ) + p["b"].astype(cdtype)
-        if i < 5:
-            x, m, v = _bn_train_global(x, p, bn_state["dec"][i], cfg.bn_eps,
-                                       cfg.bn_momentum, axis_name, weight)
-            x = jnp.maximum(x, 0.0)
-            # Dropout2d masks are (B, 1, 1, C): broadcast over time, so the
-            # same per-level key on every shard IS the unsharded mask
-            x = unet._dropout2d(x, cfg.dropout_rate, drop_keys[i])
+        last = i == 5
+        x, m, v = dec_level(p, None if last else bn_state["dec"][i], inp,
+                            None if last else drop_keys[i], last)
+        if not last:
             new_state["dec"].append(dict(mean=m, var=v))
 
     mask = jax.nn.sigmoid(x.astype(jnp.float32))
@@ -218,7 +240,7 @@ def shard_batch_time(mesh: Mesh, batch, axis_name: str = "data"):
     return out
 
 
-_PLANE_KEYS = ("mix", "voc", "mix_angle", "voc_angle")
+from svs_tpu.data.dataset import PLANE_KEYS as _PLANE_KEYS  # noqa: E402
 
 
 def make_cp_loss(mesh: Mesh, cfg: Optional[SVSConfig] = None,

@@ -159,7 +159,13 @@ class SeparationService:
 
     def shutdown(self):
         self._stop.set()
-        self._q.put(None)
+        try:
+            # non-blocking: a full queue (bounded since the admission-control
+            # change) must not deadlock shutdown — the _drain loop checks
+            # _stop on every get, so the sentinel is best-effort only
+            self._q.put_nowait(None)
+        except queue.Full:
+            pass
 
 
 # default decode mode for POST /separate when ?mode= is omitted: 'overlap'

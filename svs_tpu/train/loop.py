@@ -380,7 +380,9 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
                 if len(songs_a):
                     state, rng, loss_vec = epoch_fn(
                         state, train_ds.planes, songs_a, starts_a, rng)
-                    losses = list(loss_vec)  # device slices; fetched below
+                    # the stacked vector IS the single epoch fetch — no
+                    # per-scalar slicing
+                    losses = np.asarray(jax.device_get(loss_vec)).tolist()
                 if tail is not None:  # ragged last batch: per-step program
                     rng, sub = jax.random.split(rng)
                     state, aux = train_step(
@@ -401,15 +403,23 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
                     rng, sub = jax.random.split(rng)
                     state, aux = train_step(state, put(batch), sub)
                     losses.append(aux["total"])  # device scalar; fetched lazily
-                    if _should_stop():
+                    # multi-host: _should_stop is a blocking host collective
+                    # (process_allgather) — poll every 8th step, not every
+                    # step, so it doesn't serialize the async-dispatch
+                    # pipeline (the i sequence is identical on every host,
+                    # keeping collective call counts lockstep).  Single
+                    # host it's a local flag: check every step.
+                    if (pc == 1 or i % 8 == 7) and _should_stop():
                         # mid-epoch: save with epoch=ep so resume re-runs
                         # this epoch
                         _preempt_exit(ep)
 
             # ONE stacked device->host fetch for the epoch's losses (a
             # per-scalar float() costs one link round-trip each — ~40 ms on
-            # tunnelled rigs, i.e. ~0.5 s/epoch of pure RTT at 12 steps)
-            if losses:
+            # tunnelled rigs, i.e. ~0.5 s/epoch of pure RTT at 12 steps).
+            # The scan path already fetched its vector; only device scalars
+            # (per-step path, or the scan path's tail loss) need the stack.
+            if losses and any(not isinstance(x, float) for x in losses):
                 import jax.numpy as jnp
                 losses = np.asarray(
                     jax.device_get(jnp.stack(losses))).tolist()

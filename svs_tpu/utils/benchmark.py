@@ -252,14 +252,17 @@ def train_epoch_bench(cfg=None, batch_size: int = 32, n_songs: int = 4,
                 nonlocal state, key
                 songs, starts, tail = epoch_index_arrays(
                     ds.host, batch_size, shuffle=True, seed=seed * 7 + ep)
-                state, key, losses = epoch_fn(state, ds.planes, songs,
-                                              starts, key)
-                barrier = losses[-1]
+                barrier = None
+                if len(songs):
+                    state, key, losses = epoch_fn(state, ds.planes, songs,
+                                                  starts, key)
+                    barrier = losses[-1]
                 if tail is not None:
                     key, sub = jax.random.split(key)
                     state, aux = step(state, ds.gather(*tail), sub)
                     barrier = aux["total"]
-                fetch_barrier(barrier)
+                if barrier is not None:
+                    fetch_barrier(barrier)
         else:
             step = make_train_step(cfg)
 

@@ -248,3 +248,40 @@ def test_separate_magnitude_time_sharded(rng):
     acc = halo.separate_magnitude_time_sharded(params, bn_state, mag, mesh,
                                                cfg=cfg, vocal_solo=False)
     np.testing.assert_allclose(out[1:] + acc[1:], mag[1:], atol=1e-5)
+
+
+def test_cp_train_remat_same_numerics(rng):
+    """cfg.remat now threads through the CP forward (jax.checkpoint per
+    level, halo.py) — previously silently ignored, leaving the fine_tune
+    preset's remat=True without effect under --cp.  Remat recomputes the
+    same ops, so loss and gradients must match the non-remat CP loss."""
+    import dataclasses
+
+    from svs_tpu.train.step import create_train_state
+
+    cfg = SVSConfig(input_len=128, dropout_rate=0.5)
+    mesh = mesh_lib.make_mesh(2)
+    state = create_train_state(jax.random.key(0), cfg)
+    batch = _loss_batch(rng, 2, 128)
+    sb = halo.shard_batch_time(mesh, batch)
+
+    results = {}
+    for remat in (False, True):
+        loss_fn = halo.make_cp_loss(mesh, dataclasses.replace(cfg,
+                                                              remat=remat))
+
+        def f(params):
+            total, _ = loss_fn(params, state.bn_state, sb, jax.random.key(1))
+            return total
+
+        val, grads = jax.jit(jax.value_and_grad(f))(state.params)
+        results[remat] = (float(val), jax.tree.leaves(grads))
+
+    np.testing.assert_allclose(results[True][0], results[False][0],
+                               rtol=1e-6)
+    # atol 1e-5: near-zero grads carry bf16 recompute noise at the 1e-6
+    # scale (remat re-runs the bf16 convs; XLA may fuse the recompute
+    # differently); structurally nonzero grads must agree to 0.1%
+    for a, b in zip(results[False][1], results[True][1]):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-3, atol=1e-5)

@@ -79,8 +79,14 @@ def test_inference_program_outputs(workdir):
 
     out_ours = str(workdir / "out_ours")
     from svs_tpu.cli import infer_cli
+    # --dtype float32: exact-parity mode.  The SHIPPED preset default is
+    # bfloat16 conv compute (measured-best config, round 3), which diverges
+    # from the f32 torch reference at ~1e-3 relative — intentional and
+    # documented; this test pins the exactness CONTRACT, reachable via the
+    # flag, not the throughput default.
     assert infer_cli.main(["--model_path", init, "--tar", out_ours,
-                           "--mixture_folder", specs_mix]) == 0
+                           "--mixture_folder", specs_mix,
+                           "--dtype", "float32"]) == 0
 
     names = sorted(f for f in os.listdir(out_ref) if f.endswith("_spec.npy"))
     assert names, "reference inference produced no outputs"
