@@ -334,3 +334,40 @@ def test_http_overload_503_with_retry_after(monkeypatch, rng):
         release.set()
         httpd.shutdown()
         httpd.service.shutdown()
+
+
+def test_shutdown_with_full_queue_does_not_block(stalled_service, rng):
+    """shutdown() on a service whose bounded queue is FULL must return
+    immediately (put_nowait sentinel, best-effort) and still stop the
+    worker — the blocking put deadlocked serve_cli's ^C path before the
+    round-3 review fix."""
+    import time
+
+    service, release = stalled_service
+    y = (rng.standard_normal(2048) * 0.1).astype(np.float32)
+
+    occupiers = [threading.Thread(target=lambda: _swallow(service, y))
+                 for _ in range(3)]  # 1 in the worker + 2 queued (= max_queue)
+    for t in occupiers:
+        t.start()
+    for _ in range(200):
+        if service.pending() == 2:
+            break
+        time.sleep(0.02)
+    assert service.pending() == 2  # queue is full
+
+    t0 = time.perf_counter()
+    service.shutdown()
+    assert time.perf_counter() - t0 < 0.5  # no blocking put
+    release.set()
+    for t in occupiers:
+        t.join(timeout=30)
+    service._worker.join(timeout=30)
+    assert not service._worker.is_alive()  # _stop flag ended the drain loop
+
+
+def _swallow(service, y):
+    try:
+        service.separate(y)
+    except Exception:
+        pass  # times out / shuts down by design
