@@ -26,6 +26,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "fast-fail with 503 + Retry-After")
     p.add_argument("--request_timeout", type=float, default=300.0,
                    help="per-request deadline in seconds (504 on expiry)")
+    p.add_argument("--warmup_secs", type=float, default=0.0,
+                   help="compile the decode path for a song of this length "
+                        "BEFORE binding the port (first requests then hit "
+                        "warm executables; size it like a typical song)")
     return p
 
 
@@ -46,7 +50,8 @@ def main(argv=None) -> int:
                   max_body_bytes=args.max_body_mb << 20,
                   max_batch=args.max_batch,
                   max_queue=args.max_queue,
-                  request_timeout=args.request_timeout)
+                  request_timeout=args.request_timeout,
+                  warmup_secs=args.warmup_secs)
     print(f"serving on http://{args.host}:{args.port} "
           "(POST /separate, GET /healthz)")
     try:

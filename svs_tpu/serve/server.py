@@ -270,11 +270,25 @@ def make_handler(service: SeparationService,
 def serve(params, bn_state, cfg: Optional[SVSConfig] = None,
           host: str = "127.0.0.1", port: int = 8571,
           max_body_bytes: int = DEFAULT_MAX_BODY, max_batch: int = 8,
-          max_queue: int = 32, request_timeout: float = 300.0):
-    """Blocking entry: start the service (returns the server for tests)."""
+          max_queue: int = 32, request_timeout: float = 300.0,
+          warmup_secs: float = 0.0):
+    """Blocking entry: start the service (returns the server for tests).
+
+    ``warmup_secs`` > 0: push one silent song of that length through the
+    full decode path BEFORE binding the port, so the length bucket it
+    falls in (and everything the buckets share) is compiled — and lands in
+    the on-disk XLA cache — before the first real request arrives.  Size
+    it like your typical song; 0 (default) binds immediately and the
+    first request per bucket pays its compile."""
     service = SeparationService(params, bn_state, cfg, max_batch=max_batch,
                                 max_queue=max_queue,
                                 request_timeout=request_timeout)
+    if warmup_secs > 0:
+        sr = service.cfg.sample_rate
+        silent = np.zeros(max(1, int(sr * warmup_secs)), np.float32)
+        service.separate(silent, mode=DEFAULT_MODE,
+                         timeout=max(request_timeout, 1800.0))
+        print(f"[svs-serve] warmup done ({warmup_secs:g}s bucket compiled)")
     httpd = ThreadingHTTPServer((host, port),
                                 make_handler(service, max_body_bytes))
     httpd.service = service  # type: ignore[attr-defined]

@@ -371,3 +371,22 @@ def _swallow(service, y):
         service.separate(y)
     except Exception:
         pass  # times out / shuts down by design
+
+
+def test_serve_warmup_compiles_before_bind(rng):
+    """serve(warmup_secs=N) pushes a silent song through the decode path
+    before binding: the server comes up already compiled and still serves
+    correctly; warmup counts as one served request."""
+    from svs_tpu.serve.server import serve
+
+    params, bn_state = unet.init(jax.random.key(0))
+    httpd = serve(params, bn_state, SVSConfig(), host="127.0.0.1", port=0,
+                  warmup_secs=0.5)
+    try:
+        assert httpd.service.requests_served == 1  # the warmup pass
+        y = (rng.standard_normal(4096) * 0.1).astype(np.float32)
+        out = httpd.service.separate(y)
+        assert out.shape == y.shape and np.isfinite(out).all()
+    finally:
+        httpd.service.shutdown()
+        httpd.server_close()
