@@ -9,7 +9,7 @@ import logging
 import threading
 
 
-def _backend_alive(timeout_s: float = 240.0) -> bool:
+def _backend_alive(timeout_s: float = 600.0) -> bool:
     """Bounded TPU-backend probe.  On this rig the device sits behind a
     tunnel that can wedge for tens of minutes (CLAUDE.md); jax.devices()
     then blocks INDEFINITELY — a bench that hangs is worse than one that
@@ -33,7 +33,7 @@ if __name__ == "__main__":
         print(json.dumps({
             "metric": "decode_device_frames_per_sec", "value": 0,
             "unit": "frames/s", "vs_baseline": 0,
-            "error": "device backend init did not complete within 240s "
+            "error": "device backend init did not complete within 600s "
                      "(tunnel down/recovering) — no measurement possible; "
                      "this round's measured values are recorded in "
                      "docs/ROUND_NOTES.md",
