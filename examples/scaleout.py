@@ -9,7 +9,9 @@ uses the chips:
        fed by the HBM-resident dataset (two (B,) index vectors per step)
     2. CP training (--cp): the patch TIME axis sharded with halo exchange —
        the long-patch mode (fine_tune geometry)
-    3. segment-parallel + halo time-sharded whole-song inference
+    3. TP training (--tp): conv CHANNELS sharded on the "model" axis of a
+       2-D (data, model) mesh — GSPMD derives the collectives
+    4. segment-parallel + halo time-sharded whole-song inference
 
 Run:  python examples/scaleout.py [workdir]
 
@@ -90,7 +92,24 @@ def main():
     print(f"CP: trained {int(state_cp.step)} steps, patch time axis split "
           f"across {cp_mesh.devices.size} devices")
 
-    # 3) whole-song inference, two sharded ways
+    # 3) TP training: conv channels sharded on the "model" axis of a 2-D
+    #    (data=2, model=4) mesh; composes with DP on the "data" axis
+    #    (parallel/tp.py — the GSPMD channel rule, Adam update stays local)
+    from svs_tpu.parallel import tp
+
+    tp_mesh = tp.make_2d_mesh(2, 4)
+    state_tp = fit(TrainOptions(
+        train_folder=os.path.join(work, "spec"),
+        valid_folder="missing", label="tp_demo", epoch=1, batch_size=4,
+        ckpt_dir=os.path.join(work, "CKPT"),
+        log_dir=os.path.join(work, "LOG"),
+        load_path="none", progress=False,
+        mesh=tp_mesh, parallel="tp",
+    ), cfg)
+    print(f"TP: trained {int(state_tp.step)} steps, channels split 4-way, "
+          "batch 2-way")
+
+    # 4) whole-song inference, two sharded ways
     mix, _ = wavio.load_audio(
         os.path.join(work, "songs", "song0", "mixture.wav"),
         sr=cfg.sample_rate)

@@ -34,6 +34,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "patch is sharded over all visible devices with "
                         "halo exchange (long patches, e.g. --preset "
                         "fine_tune; needs input_len %% (64*devices) == 0)")
+    p.add_argument("--tp", type=int, default=0, metavar="K",
+                   help="tensor-parallel training: conv channels shard "
+                        "K-way on a 'model' mesh axis (parallel/tp.py). "
+                        "Alone: a (1, K) mesh; with --dp: a "
+                        "(devices//K, K) data x model mesh")
     p.add_argument("--ckpt_dir", type=str, default="CKPT")
     p.add_argument("--log_dir", type=str, default="LOG")
     p.add_argument("--samples_per_song", type=int, default=None,
@@ -86,11 +91,25 @@ def main(argv=None) -> int:
     if args.remat:
         cfg = dataclasses.replace(cfg, remat=True)
     mesh = None
-    if args.dp and args.cp:
-        raise SystemExit("--dp and --cp are mutually exclusive")
-    if args.dp or args.cp:
+    parallel = "dp"
+    if args.cp and (args.dp or args.tp):
+        raise SystemExit("--cp is mutually exclusive with --dp/--tp")
+    if args.tp:
+        import jax
+
+        from svs_tpu.parallel import tp as tp_lib
+        n = len(jax.devices())
+        if n % args.tp:
+            raise SystemExit(f"--tp {args.tp} does not divide the "
+                             f"{n} visible devices")
+        n_data = n // args.tp if args.dp else 1
+        mesh = tp_lib.make_2d_mesh(n_data, args.tp)
+        parallel = "tp"
+        print(f"Tensor-parallel over a ({n_data} data, {args.tp} model) mesh")
+    elif args.dp or args.cp:
         from svs_tpu.parallel import mesh as mesh_lib
         mesh = mesh_lib.make_mesh()
+        parallel = "cp" if args.cp else "dp"
         kind = "Context(time)" if args.cp else "Data"
         print(f"{kind}-parallel over {mesh.devices.size} devices")
 
@@ -109,7 +128,7 @@ def main(argv=None) -> int:
         save_every=args.save_every,
         async_save=args.async_save,
         mesh=mesh,
-        parallel="cp" if args.cp else "dp",
+        parallel=parallel,
         device_data=args.device_data,
         device_data_cap_mb=args.device_data_cap_mb,
         epoch_scan=args.epoch_scan,

@@ -49,7 +49,9 @@ def shard_batch(mesh: Mesh, batch, axis_name: str = "data"):
     a remainder batch produces EXACTLY the loss, gradients and BN statistics
     of the unpadded batch — drop-free and bias-free.
     """
-    n = mesh.devices.size
+    # pad to the SHARDED axis's size: on a 1-D mesh that is every device;
+    # on a 2-D (data, model) mesh only the data dimension splits the batch
+    n = int(mesh.shape[axis_name])
     sharding = batch_sharded(mesh, axis_name)
 
     b = next(iter(batch.values())).shape[0]

@@ -83,7 +83,10 @@ class TrainOptions:
     # with a mesh: "dp" shards the BATCH axis (default), "cp" shards the
     # TIME axis of every patch with halo exchange (context parallelism for
     # long patches, e.g. the fine_tune preset's 1536 frames; requires
-    # input_len % (64 * mesh size) == 0 — parallel/halo.py)
+    # input_len % (64 * mesh size) == 0 — parallel/halo.py), "tp" shards
+    # conv CHANNELS on the mesh's "model" axis (tensor parallelism,
+    # parallel/tp.py; pass a tp.make_2d_mesh — composes with DP via its
+    # "data" axis)
     parallel: str = "dp"
 
 
@@ -153,7 +156,11 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
     if pc == 1 and opts.device_put is None and opts.device_data != "off":
         from svs_tpu.data import device_data as dd
         is_cp = opts.mesh is not None and opts.parallel == "cp"
-        if is_cp:
+        is_tp = opts.mesh is not None and opts.parallel == "tp"
+        if is_tp:
+            pass  # TP batches are host-fed (shard_batch below); the
+            # device-resident gather paths are built for 1-D data/CP meshes
+        elif is_cp:
             # CP: gathered batches come out TIME-sharded (the
             # halo.shard_batch_time layout), straight into the cp step.
             # "auto" falls back to the host pipeline when input_len doesn't
@@ -215,6 +222,25 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
             # eval: state is replicated, so the unsharded eval program on
             # the default device is correct as-is (B is small at long
             # patch lengths; no eval sharding needed)
+            put_val = lambda b: b  # noqa: E731
+    elif opts.mesh is not None and opts.parallel == "tp":
+        # tensor (channel) parallelism: conv channels shard on the mesh's
+        # "model" axis, the batch on its "data" axis (if any) —
+        # parallel/tp.py.  Single-host only (like cp); the host input
+        # pipeline is kept (TP batches are placed by shard_batch below;
+        # device-resident gathers are a DP/CP-mesh feature).
+        if pc > 1:
+            raise ValueError("parallel='tp' supports single-host meshes; "
+                             "use parallel='dp' for multi-host jobs")
+        from svs_tpu.parallel import mesh as mesh_lib, tp
+        train_step = tp.make_tp_train_step(opts.mesh, cfg, optimizer)
+        state = tp.shard_state(state, opts.mesh)
+        if opts.device_put is None:
+            if "data" in opts.mesh.axis_names:
+                put = lambda b: mesh_lib.shard_batch(opts.mesh, b)  # noqa: E731
+            # eval: params are committed channel-sharded, so the plain eval
+            # program runs under those shardings (compute follows data);
+            # the numpy val batch needs no placement
             put_val = lambda b: b  # noqa: E731
     elif opts.mesh is not None:
         from svs_tpu.parallel import dp, mesh as mesh_lib, multihost
