@@ -94,11 +94,13 @@ class DeviceDataset:
     training where the host->device link is the epoch bottleneck (the
     ``fit()`` integration gates on process count and a byte cap).
 
-    ``mesh``: DP mode — planes are replicated over the mesh and each
-    gathered batch comes out batch-sharded (``out_shardings``) with the
-    ``mesh.shard_batch`` padding policy (zero rows to a device-count
-    multiple + 0/1 ``weight``), so batches feed ``dp.make_dp_train_step``
-    directly: per-step host traffic for DP training is still just the two
+    ``mesh``: DP/TP mode — planes are replicated over the mesh and each
+    gathered batch comes out batch-sharded on ``axis_name``
+    (``out_shardings``) with the ``mesh.shard_batch`` padding policy (zero
+    rows to a data-axis-size multiple + 0/1 ``weight``), so batches feed
+    ``dp.make_dp_train_step`` — or, on a 2-D ``(data, model)`` mesh,
+    ``tp.make_tp_train_step`` (whose batch sharding is the same
+    ``P("data")``) — directly: per-step host traffic is still just the two
     (B,) index vectors.
 
     ``time_sharded`` (with ``mesh``): CP mode — batches come out with the
@@ -111,6 +113,7 @@ class DeviceDataset:
                  time_sharded: bool = False):
         self.host = host
         self.mesh = mesh
+        self.axis_name = axis_name
         self.time_sharded = bool(time_sharded)
         # validate BEFORE _pack_planes: the loud config error must not cost
         # a full-dataset host-RAM pack first
@@ -202,7 +205,10 @@ class DeviceDataset:
                                         jnp.asarray(starts),
                                         jnp.ones(b, jnp.float32))
                 continue
-            n_dev = int(self.mesh.devices.size)
+            # pad to the batch-sharding axis's size (== device count on the
+            # 1-D DP mesh; the "data" dimension only on a 2-D (data, model)
+            # TP mesh) — mirrors mesh.shard_batch's padding policy exactly
+            n_dev = int(self.mesh.shape[self.axis_name])
             padded = -(-max(b, pad_rows_to or 0) // n_dev) * n_dev
             weight = np.zeros(padded, np.float32)
             weight[:b] = 1.0

@@ -158,8 +158,13 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
         is_cp = opts.mesh is not None and opts.parallel == "cp"
         is_tp = opts.mesh is not None and opts.parallel == "tp"
         if is_tp:
-            pass  # TP batches are host-fed (shard_batch below); the
-            # device-resident gather paths are built for 1-D data/CP meshes
+            # TP: gathered batches come out P("data")-sharded over the 2-D
+            # (data, model) mesh — exactly make_tp_train_step's batch
+            # sharding.  Validation keeps the host pipeline (the plain eval
+            # program runs compute-follows-data on the sharded params).
+            train_ds = dd.maybe_device_dataset(train_ds, opts.device_data,
+                                               opts.device_data_cap_mb,
+                                               mesh=opts.mesh)
         elif is_cp:
             # CP: gathered batches come out TIME-sharded (the
             # halo.shard_batch_time layout), straight into the cp step.
@@ -226,9 +231,9 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
     elif opts.mesh is not None and opts.parallel == "tp":
         # tensor (channel) parallelism: conv channels shard on the mesh's
         # "model" axis, the batch on its "data" axis (if any) —
-        # parallel/tp.py.  Single-host only (like cp); the host input
-        # pipeline is kept (TP batches are placed by shard_batch below;
-        # device-resident gathers are a DP/CP-mesh feature).
+        # parallel/tp.py.  Single-host only (like cp).  Train data is
+        # device-resident when it fits (gathers land P("data")-sharded,
+        # gated above); host batches fall back to shard_batch below.
         if pc > 1:
             raise ValueError("parallel='tp' supports single-host meshes; "
                              "use parallel='dp' for multi-host jobs")

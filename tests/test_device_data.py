@@ -117,6 +117,29 @@ def test_mesh_device_batches_match_host_distributor(ds):
     np.testing.assert_array_equal(np.asarray(padded[-1]["weight"]), expect_w)
 
 
+def test_tp_mesh_device_batches_match_host_distributor(ds):
+    """2-D (data, model) mesh (TP mode): gathered batches pad to the DATA
+    axis size (2), not the device count (8), and equal
+    mesh.shard_batch(host batch) bit-for-bit with equivalent shardings."""
+    from svs_tpu.parallel import mesh as mesh_lib, tp
+
+    mesh = tp.make_2d_mesh(2, 4)
+    dev = dd.DeviceDataset(ds, mesh=mesh)
+    host_b = list(ds.batches(5, seed=7))          # 12 items -> 5,5,2
+    dev_b = list(dev.batches(5, seed=7))
+    assert len(host_b) == len(dev_b)
+    for hb, db in zip(host_b, dev_b):
+        sharded = mesh_lib.shard_batch(mesh, hb)
+        for k in KEYS + ("weight",):
+            np.testing.assert_array_equal(np.asarray(db[k]),
+                                          np.asarray(sharded[k]), err_msg=k)
+            assert db[k].sharding.is_equivalent_to(
+                sharded[k].sharding, db[k].ndim), k
+    # 5 rows pad to 6 (data axis 2), NOT to 8 (total devices)
+    assert dev_b[0]["mix"].shape[0] == 6
+    assert np.asarray(dev_b[0]["weight"]).sum() == 5.0
+
+
 def test_fit_dp_mesh_device_equals_host(tmp_path):
     """fit() over a DP mesh with the device pipeline reproduces the
     host-pipeline mesh run bitwise (same sharded step program, identical

@@ -7,6 +7,7 @@ Adam moment shows up here as a real divergence, not a fuzzy tolerance.
 """
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -109,10 +110,13 @@ def test_dp_tp_2d_mesh_matches_single_device(rng):
                                    atol=1e-5, rtol=1e-4)
 
 
-def test_fit_tp_end_to_end(tmp_path, rng):
+@pytest.mark.parametrize("device_data", ["on", "off"])
+def test_fit_tp_end_to_end(tmp_path, rng, device_data):
     """fit(parallel='tp') trains channel-sharded end-to-end on a 2-D
     (data=2, model=4) mesh: loss finite, checkpoint written, validation
-    runs (compute-follows-data eval on the sharded params)."""
+    runs (compute-follows-data eval on the sharded params).  Covers both
+    input pipelines: device-resident P("data") gathers and host-fed
+    shard_batch placement."""
     import os
 
     from svs_tpu.train.loop import TrainOptions, fit
@@ -136,6 +140,7 @@ def test_fit_tp_end_to_end(tmp_path, rng):
         epoch=1, batch_size=2, val_interval=1,
         ckpt_dir=str(tmp_path / "CKPT"), log_dir=str(tmp_path / "LOG"),
         load_path="none", progress=False, mesh=mesh, parallel="tp",
+        device_data=device_data,
     ), cfg)
     assert int(state.step) == 2  # 2 songs * 2 samples / batch 2
     # params stayed channel-sharded through the loop
