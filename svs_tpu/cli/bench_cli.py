@@ -59,10 +59,15 @@ def _dp_smoke() -> int:
         return 1
     t0 = time.perf_counter()
     try:
+        # JAX_PLATFORMS=cpu: the dryrun validates a VIRTUAL CPU mesh — the
+        # env flag makes it provision that directly instead of first probing
+        # the machine's default backend (which hangs while the tunnelled
+        # TPU is in its documented wedge window)
         proc = subprocess.run(
             [sys.executable, "-c",
              "import __graft_entry__ as g; g.dryrun_multichip(8)"],
             capture_output=True, text=True, timeout=1200, cwd=repo_root,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"},
         )
         ok, tail = proc.returncode == 0, (
             (proc.stdout if proc.returncode == 0 else proc.stderr)
