@@ -150,6 +150,23 @@ def test_fit_tp_end_to_end(tmp_path, rng, device_data):
     log = open(str(tmp_path / "LOG" / "log_tp.txt")).read().splitlines()
     assert any(l.startswith("Val ") for l in log)
 
+    if device_data == "on":
+        # resume under TP: the checkpoint loads host-side (before
+        # shard_state), re-shards, and continues from epoch 1 — the resumed
+        # params must round-trip the save exactly (msgpack is lossless and
+        # epoch 2's first step starts from the epoch-1 state)
+        state2 = fit(TrainOptions(
+            train_folder=train_dir, valid_folder=train_dir, label="tp2",
+            epoch=2, batch_size=2, val_interval=2,
+            ckpt_dir=str(tmp_path / "CKPT"), log_dir=str(tmp_path / "LOG"),
+            load_path=str(tmp_path / "CKPT" / "svs_tp.ckpt"),
+            progress=False, mesh=mesh, parallel="tp",
+            device_data=device_data,
+        ), cfg)
+        assert int(state2.step) == 4  # 2 resumed + 2 new (epoch 2 only)
+        assert state2.params["enc"][3]["w"].addressable_shards[0] \
+            .data.shape == (5, 5, 64, 32)
+
 
 def test_tp_apply_matches_unsharded(rng):
     cfg = SVSConfig(input_len=64)
