@@ -31,6 +31,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "windows); 'whole': full-song single-patch forward; "
                         "'overlap': 50%%-overlap windows with triangular "
                         "crossfade (no segment seams)")
+    p.add_argument("--sp", action="store_true",
+                   help="segment-parallel decode: each song's windows shard "
+                        "over all visible devices (modes segments/overlap; "
+                        "zero communication)")
+    p.add_argument("--cp", action="store_true",
+                   help="context-parallel decode: the whole song's TIME axis "
+                        "shards over all visible devices with halo exchange "
+                        "(mode whole only — full temporal context)")
     p.add_argument("--preset", type=str, default="default")
     p.add_argument("--dtype", type=str, default=None,
                    choices=[None, "float32", "bfloat16"],
@@ -66,6 +74,20 @@ def main(argv=None) -> int:
     if args.dtype:
         import dataclasses
         cfg = dataclasses.replace(cfg, compute_dtype=args.dtype)
+    mesh = None
+    if args.sp or args.cp:
+        if args.sp and args.cp:
+            raise SystemExit("--sp and --cp are mutually exclusive")
+        if args.sp and args.mode == "whole":
+            raise SystemExit("--sp shards windows (modes segments/overlap); "
+                             "use --cp for whole-song decode")
+        if args.cp and args.mode != "whole":
+            raise SystemExit("--cp time-shards the whole song; "
+                             "pass --mode whole")
+        from svs_tpu.parallel import mesh as mesh_lib
+        mesh = mesh_lib.make_mesh()
+        kind = "Segment" if args.sp else "Context(time)"
+        print(f"{kind}-parallel decode over {mesh.devices.size} devices")
     os.makedirs(args.tar, exist_ok=True)
 
     try:
@@ -82,9 +104,14 @@ def main(argv=None) -> int:
 
     for name in tqdm(files):
         mix = np.load(os.path.join(args.mixture_folder, name))
-        out = separate.separate_magnitude(
-            params, bn_state, mix, vocal_solo=bool(args.vocal_solo), cfg=cfg,
-            mode=args.mode)
+        if mesh is not None:
+            out = separate.separate_magnitude_mesh(
+                params, bn_state, mix, mesh,
+                vocal_solo=bool(args.vocal_solo), cfg=cfg, mode=args.mode)
+        else:
+            out = separate.separate_magnitude(
+                params, bn_state, mix, vocal_solo=bool(args.vocal_solo),
+                cfg=cfg, mode=args.mode)
         np.save(os.path.join(args.tar, name), out)
 
     print("Separation finished!")

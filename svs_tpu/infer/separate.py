@@ -155,6 +155,85 @@ def separate_magnitude(
     return np.asarray(out)[:, :t]
 
 
+def separate_magnitude_mesh(
+    params,
+    bn_state,
+    mag: np.ndarray,
+    mesh,
+    *,
+    vocal_solo: bool = True,
+    cfg: Optional[SVSConfig] = None,
+    mode: str = "segments",
+    axis_name: str = "data",
+) -> np.ndarray:
+    """:func:`separate_magnitude` over a device mesh — the batch/offline
+    decode path when one giant song (or a catalog sweep) wants all chips.
+
+    mode='segments'/'overlap': segment-parallel (SP) — the song's windows
+    shard over the mesh's ``axis_name`` (``dp.make_sp_separate``; zero
+    communication, each chip masks its own windows).  The overlap crossfade
+    commutes with SP because the blend is linear in the per-window masked
+    frames: sum_w tri_w*(mask_w*mag) == mag * sum_w tri_w*mask_w, the
+    unsharded formula (`_mask_overlap`).  mode='whole': halo-exchange
+    time-sharded forward (``parallel/halo.py`` — full temporal context).
+    Output matches the unsharded :func:`separate_magnitude` per mode
+    (tests/test_infer_mesh.py).
+    """
+    cfg = cfg or SVSConfig()
+    if mode == "whole":
+        from svs_tpu.parallel import halo
+        return halo.separate_magnitude_time_sharded(
+            params, bn_state, mag, mesh, vocal_solo=vocal_solo, cfg=cfg,
+            axis_name=axis_name)
+    if mode not in ("segments", "overlap"):
+        raise ValueError(f"unknown mode {mode!r}; expected one of "
+                         f"{sorted(_MASK_MODES)}")
+    from svs_tpu.parallel import dp, mesh as mesh_lib
+
+    t = mag.shape[1]
+    seg = cfg.input_len
+    nodc = mag.astype(np.float32)[1:]
+    f = nodc.shape[0]
+    n_seg = max(_cdiv(t, seg), 1)
+    t_pad = n_seg * seg
+    if mode == "segments":
+        x = np.pad(nodc, ((0, 0), (0, t_pad - t)))
+        segs = np.ascontiguousarray(
+            x.reshape(f, n_seg, seg).transpose(1, 0, 2))
+    else:  # overlap: hop-stepped windows, half-window zero pad each side
+        hop = seg // 2
+        x = np.pad(nodc, ((0, 0), (hop, hop + t_pad - t)))
+        rows = x.reshape(f, -1, hop)                  # (F, t_pad/hop+2, hop)
+        segs = np.ascontiguousarray(np.concatenate(
+            [rows[:, :-1], rows[:, 1:]], axis=-1).transpose(1, 0, 2))
+    n_win = len(segs)
+    n_sh = int(mesh.shape[axis_name])
+    pad_rows = (-n_win) % n_sh
+    if pad_rows:
+        segs = np.concatenate(
+            [segs, np.zeros((pad_rows,) + segs.shape[1:], np.float32)])
+
+    fn = dp.make_sp_separate(mesh, cfg, vocal_solo=vocal_solo,
+                             axis_name=axis_name)
+    masked = np.asarray(fn(params, bn_state, jax.device_put(
+        segs, mesh_lib.batch_sharded(mesh, axis_name))))[:n_win]
+
+    if mode == "segments":
+        pred = masked.transpose(1, 0, 2).reshape(f, t_pad)
+    else:
+        # numpy mirror of _mask_overlap's triangular accumulation, applied
+        # to the already-masked frames (linearity note in the docstring)
+        asc = (np.arange(hop, dtype=np.float32) + 0.5) / hop
+        tri = np.concatenate([asc, asc[::-1]])
+        weighted = masked * tri[None, None, :]
+        acc = np.zeros((t_pad // hop + 2, f, hop), np.float32)
+        acc[:-1] += weighted[:, :, :hop]
+        acc[1:] += weighted[:, :, hop:]
+        pred = acc[1:-1].transpose(1, 0, 2).reshape(f, t_pad)
+    return np.concatenate(
+        [np.zeros((1, t_pad), np.float32), pred])[:, :t]
+
+
 @functools.partial(
     jax.jit, static_argnames=("cfg", "vocal_solo", "both", "mode"))
 def _separate_wav_jit(params, bn_state, y, cfg: SVSConfig, vocal_solo: bool,
