@@ -35,7 +35,7 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 
 from svs_tpu.data import prep, wav as wavio
-from svs_tpu.parallel import dp, halo, mesh as mesh_lib
+from svs_tpu.parallel import halo, mesh as mesh_lib
 from svs_tpu.train.loop import TrainOptions, fit
 from svs_tpu.utils.config import SVSConfig
 
@@ -116,20 +116,13 @@ def main():
     mag, phase = prep.stft_magphase(mix, cfg.window_size, cfg.hop_size)
 
     # segment-parallel: independent input_len windows sharded on dim 0
-    # (reference inference.py:79-116 semantics, zero communication)
-    l = cfg.input_len
-    nodc = mag[1:]  # DC row dropped, as in training (train.py:110-113)
-    n_seg = -(-nodc.shape[1] // l)
-    padded = np.pad(nodc, ((0, 0), (0, n_seg * l - nodc.shape[1])))
-    segs = np.stack([padded[:, i * l:(i + 1) * l] for i in range(n_seg)])
-    pad_rows = (-len(segs)) % mesh.devices.size  # equal shards for the mesh
-    segs = np.concatenate(
-        [segs, np.zeros((pad_rows,) + segs.shape[1:], segs.dtype)])
-    sp = dp.make_sp_separate(mesh, cfg)
-    masked_sp = sp(state.params, state.bn_state,
-                   jax.device_put(segs, mesh_lib.batch_sharded(mesh)))
-    print(f"segment-parallel: {n_seg} segments over "
-          f"{mesh.devices.size} devices -> {np.asarray(masked_sp).shape}")
+    # (reference inference.py:79-116 semantics, zero communication) —
+    # the same call the batch CLI's --sp flag makes
+    from svs_tpu.infer import separate
+    masked_sp = separate.separate_magnitude_mesh(
+        state.params, state.bn_state, mag, mesh, cfg=cfg, mode="segments")
+    print(f"segment-parallel whole song: {mag.shape} -> {masked_sp.shape} "
+          f"over {mesh.devices.size} devices")
 
     masked_halo = halo.separate_magnitude_time_sharded(
         state.params, state.bn_state, mag, mesh, cfg=cfg)
