@@ -34,7 +34,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "patch is sharded over all visible devices with "
                         "halo exchange (long patches, e.g. --preset "
                         "fine_tune; needs input_len %% (64*devices) == 0)")
-    p.add_argument("--tp", type=int, default=0, metavar="K",
+    p.add_argument("--tp", type=int, default=None, metavar="K",
                    help="tensor-parallel training: conv channels shard "
                         "K-way on a 'model' mesh axis (parallel/tp.py). "
                         "Alone: a (1, K) mesh; with --dp: a "
@@ -92,9 +92,12 @@ def main(argv=None) -> int:
         cfg = dataclasses.replace(cfg, remat=True)
     mesh = None
     parallel = "dp"
-    if args.cp and (args.dp or args.tp):
+    if args.cp and (args.dp or args.tp is not None):
         raise SystemExit("--cp is mutually exclusive with --dp/--tp")
-    if args.tp:
+    if args.tp is not None:
+        if args.tp < 1:
+            raise SystemExit(f"--tp must be a positive shard count, "
+                             f"got {args.tp}")
         import jax
 
         from svs_tpu.parallel import tp as tp_lib

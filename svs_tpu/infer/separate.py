@@ -21,6 +21,7 @@ so XLA compiles a handful of programs per run regardless of song lengths.
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional, Tuple
 
 import jax
@@ -208,7 +209,12 @@ def separate_magnitude_mesh(
             [rows[:, :-1], rows[:, 1:]], axis=-1).transpose(1, 0, 2))
     n_win = len(segs)
     n_sh = int(mesh.shape[axis_name])
-    pad_rows = (-n_win) % n_sh
+    # bucket the window count like the unsharded path (_SEG_BUCKET) AND pad
+    # to equal shards — one compiled program per bucket, not per song
+    # length.  Extra rows are zero windows whose outputs are sliced off
+    # before reassembly/accumulation, so values are unchanged.
+    granule = n_sh * _SEG_BUCKET // math.gcd(n_sh, _SEG_BUCKET)
+    pad_rows = (-n_win) % granule
     if pad_rows:
         segs = np.concatenate(
             [segs, np.zeros((pad_rows,) + segs.shape[1:], np.float32)])

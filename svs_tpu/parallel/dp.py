@@ -17,6 +17,7 @@ long-context note).
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Optional
 
 import jax
@@ -87,6 +88,7 @@ def _abstract_state_spec():
     return TrainState(params=0, bn_state=0, opt_state=0, step=0)
 
 
+@functools.lru_cache(maxsize=16)
 def make_sp_separate(
     mesh: Mesh,
     cfg: Optional[SVSConfig] = None,
@@ -94,7 +96,12 @@ def make_sp_separate(
     axis_name: str = "data",
 ):
     """Segment-parallel whole-song masking: ``fn(params, bn_state, segs)``
-    with ``segs (S, 512, input_len)`` sharded over the mesh on S."""
+    with ``segs (S, 512, input_len)`` sharded over the mesh on S.
+
+    Cached on (mesh, cfg, vocal_solo, axis_name) so per-song callers
+    (``svs-inference --sp``) reuse ONE jit instance and its compile cache
+    instead of retracing every call — same reason
+    ``halo.make_time_sharded_apply`` is cached."""
     cfg = cfg or SVSConfig()
     rep = mesh_lib.replicated(mesh)
     ssh = mesh_lib.batch_sharded(mesh, axis_name)

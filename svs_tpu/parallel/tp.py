@@ -56,6 +56,9 @@ def make_2d_mesh(n_data: int, n_model: int,
     step.  ``jax.devices()`` order already walks the ICI torus minor-first
     on TPU, so taking devices in order does the right thing.
     """
+    if n_data < 1 or n_model < 1:
+        raise ValueError(f"mesh dims must be positive, got "
+                         f"({n_data}, {n_model})")
     devs = jax.devices()
     need = n_data * n_model
     if need > len(devs):
