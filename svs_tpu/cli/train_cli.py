@@ -39,6 +39,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "K-way on a 'model' mesh axis (parallel/tp.py). "
                         "Alone: a (1, K) mesh; with --dp: a "
                         "(devices//K, K) data x model mesh")
+    p.add_argument("--zero1", action="store_true",
+                   help="with --dp: shard the optimizer state (Adam "
+                        "moments) across the data axis — ZeRO stage 1 "
+                        "(parallel/zero.py)")
     p.add_argument("--ckpt_dir", type=str, default="CKPT")
     p.add_argument("--log_dir", type=str, default="LOG")
     p.add_argument("--samples_per_song", type=int, default=None,
@@ -94,6 +98,12 @@ def main(argv=None) -> int:
     parallel = "dp"
     if args.cp and (args.dp or args.tp is not None):
         raise SystemExit("--cp is mutually exclusive with --dp/--tp")
+    if args.zero1 and not args.dp:
+        raise SystemExit("--zero1 shards optimizer state across a DP "
+                         "mesh; pass --dp with it")
+    if args.zero1 and args.tp is not None:
+        raise SystemExit("--zero1 composes with --dp only (TP already "
+                         "shards the moments with their params)")
     if args.tp is not None:
         if args.tp < 1:
             raise SystemExit(f"--tp must be a positive shard count, "
@@ -135,6 +145,7 @@ def main(argv=None) -> int:
         device_data=args.device_data,
         device_data_cap_mb=args.device_data_cap_mb,
         epoch_scan=args.epoch_scan,
+        zero1=args.zero1,
     )
     fit(opts, cfg)
     return 0

@@ -88,6 +88,10 @@ class TrainOptions:
     # parallel/tp.py; pass a tp.make_2d_mesh — composes with DP via its
     # "data" axis)
     parallel: str = "dp"
+    # with parallel="dp" on a single-process mesh: shard the optimizer
+    # state (Adam moments, 2x param bytes) across the data axis — ZeRO
+    # stage 1, parallel/zero.py.  Same step semantics, different layout.
+    zero1: bool = False
 
 
 def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
@@ -249,8 +253,20 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
             put_val = lambda b: b  # noqa: E731
     elif opts.mesh is not None:
         from svs_tpu.parallel import dp, mesh as mesh_lib, multihost
-        train_step = dp.make_dp_train_step(opts.mesh, cfg, optimizer)
-        state = dp.replicate_state(state, opts.mesh)
+        if opts.zero1:
+            # ZeRO-1: same DP program, Adam moments sharded over the data
+            # axis (parallel/zero.py).  Single-process meshes only — the
+            # multi-host distributors assume a replicated state layout.
+            if pc > 1:
+                raise ValueError("zero1 supports single-process meshes; "
+                                 "multi-host jobs run plain DP")
+            from svs_tpu.parallel import zero
+            train_step = zero.make_zero1_train_step(opts.mesh, cfg,
+                                                    optimizer)
+            state = zero.shard_state(state, opts.mesh, cfg, optimizer)
+        else:
+            train_step = dp.make_dp_train_step(opts.mesh, cfg, optimizer)
+            state = dp.replicate_state(state, opts.mesh)
         if opts.device_put is None:
             if pc > 1:
                 # pad each host's rows to a fixed multiple of its device
