@@ -43,6 +43,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="with --dp: shard the optimizer state (Adam "
                         "moments) across the data axis — ZeRO stage 1 "
                         "(parallel/zero.py)")
+    p.add_argument("--fsdp", action="store_true",
+                   help="with --dp: fully sharded state (params + BN + "
+                        "moments across the data axis; XLA gathers "
+                        "kernels on use) — the ZeRO-3/FSDP analogue")
     p.add_argument("--ckpt_dir", type=str, default="CKPT")
     p.add_argument("--log_dir", type=str, default="LOG")
     p.add_argument("--samples_per_song", type=int, default=None,
@@ -98,12 +102,12 @@ def main(argv=None) -> int:
     parallel = "dp"
     if args.cp and (args.dp or args.tp is not None):
         raise SystemExit("--cp is mutually exclusive with --dp/--tp")
-    if args.zero1 and not args.dp:
-        raise SystemExit("--zero1 shards optimizer state across a DP "
-                         "mesh; pass --dp with it")
-    if args.zero1 and args.tp is not None:
-        raise SystemExit("--zero1 composes with --dp only (TP already "
-                         "shards the moments with their params)")
+    if (args.zero1 or args.fsdp) and not args.dp:
+        raise SystemExit("--zero1/--fsdp shard training state across a "
+                         "DP mesh; pass --dp with them")
+    if (args.zero1 or args.fsdp) and args.tp is not None:
+        raise SystemExit("--zero1/--fsdp compose with --dp only (TP "
+                         "already shards the state with its channels)")
     if args.tp is not None:
         if args.tp < 1:
             raise SystemExit(f"--tp must be a positive shard count, "
@@ -146,6 +150,7 @@ def main(argv=None) -> int:
         device_data_cap_mb=args.device_data_cap_mb,
         epoch_scan=args.epoch_scan,
         zero1=args.zero1,
+        fsdp=args.fsdp,
     )
     fit(opts, cfg)
     return 0

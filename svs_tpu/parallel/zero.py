@@ -1,4 +1,4 @@
-"""ZeRO-1: optimizer state sharded over the data axis (GSPMD-derived).
+"""ZeRO-1 / FSDP: training state sharded over the data axis (GSPMD-derived).
 
 SURVEY.md §2.3 names ZeRO/FSDP among the scale-out mechanisms the
 reference (single-device, reference train.py:19) has no analogue for; this
@@ -10,13 +10,21 @@ the XLA SPMD partitioner derives the dataflow (each chip updates its slice
 of the moments, the param update all-gathers once per step) — the same
 "annotate, let XLA insert collectives" recipe as ``parallel/tp.py``.
 
-Sharding rule per moment leaf: the FIRST dim divisible by the axis size
-shards (conv kernels are HWIO with 5x5 leading dims, so their channel dims
-carry the split); scalars and non-divisible leaves replicate.  Params
-themselves stay replicated — stage 1 only; at this model's 9.6M params the
-HBM win (~2x param bytes / n_chips) is irrelevant on real chips, so like
-TP this exists for scaled-up variants and to make the memory-scaling
-mechanism first-class.  Semantics are identical to plain DP — pinned
+Sharding rule per leaf: the FIRST dim divisible by the axis size shards
+(conv kernels are HWIO with 5x5 leading dims, so their channel dims carry
+the split); scalars and non-divisible leaves replicate.  Two layouts:
+
+- **ZeRO-1** (default): only the moments shard; params/BN replicated —
+  the gradient allreduce stays, the Adam update runs on each chip's
+  moment slice, the param update all-gathers once per step.
+- **FSDP** (``fsdp=True``, the ZeRO-3 analogue): params and BN shard by
+  the same rule — per-chip state bytes drop ~axis-size-fold, and XLA
+  inserts the per-layer param all-gathers where the convs need full
+  kernels (gather-on-use, the FSDP dataflow, derived not hand-written).
+
+At this model's 9.6M params the HBM win is irrelevant on real chips, so
+like TP these exist for scaled-up variants and to make the memory-scaling
+mechanisms first-class.  Semantics are identical to plain DP — pinned
 against the single-device step in tests/test_zero.py.
 """
 
@@ -45,22 +53,31 @@ def _moment_spec(shape, n: int, axis_name: str) -> P:
 
 def state_shardings(mesh: Mesh, cfg: Optional[SVSConfig] = None,
                     optimizer: Optional[optax.GradientTransformation] = None,
-                    axis_name: str = "data") -> TrainState:
-    """TrainState-shaped tree of NamedShardings: opt-state moments sharded
-    by the first-divisible-dim rule, everything else replicated."""
+                    axis_name: str = "data", fsdp: bool = False
+                    ) -> TrainState:
+    """TrainState-shaped tree of NamedShardings.
+
+    ZeRO-1 (default): opt-state moments sharded by the
+    first-divisible-dim rule, everything else replicated.  ``fsdp=True``
+    (the ZeRO-3/FSDP analogue): params and BN state shard by the same
+    rule too — per-chip state bytes drop ~axis-size-fold and XLA inserts
+    the per-layer param all-gathers the compute needs.
+    """
     cfg = cfg or SVSConfig()
     optimizer = optimizer or make_optimizer(cfg)
     shapes = jax.eval_shape(
         lambda: create_train_state(jax.random.key(0), cfg, optimizer))
     rep = mesh_lib.replicated(mesh)
     n = int(mesh.shape[axis_name])
-    opt_sh = jax.tree.map(
-        lambda l: NamedSharding(mesh, _moment_spec(l.shape, n, axis_name)),
-        shapes.opt_state)
+
+    def rule(l):
+        return NamedSharding(mesh, _moment_spec(l.shape, n, axis_name))
+
     return TrainState(
-        params=jax.tree.map(lambda _: rep, shapes.params),
-        bn_state=jax.tree.map(lambda _: rep, shapes.bn_state),
-        opt_state=opt_sh,
+        params=jax.tree.map(rule if fsdp else lambda _: rep, shapes.params),
+        bn_state=jax.tree.map(rule if fsdp else lambda _: rep,
+                              shapes.bn_state),
+        opt_state=jax.tree.map(rule, shapes.opt_state),
         step=rep,
     )
 
@@ -68,10 +85,12 @@ def state_shardings(mesh: Mesh, cfg: Optional[SVSConfig] = None,
 def shard_state(state: TrainState, mesh: Mesh,
                 cfg: Optional[SVSConfig] = None,
                 optimizer: Optional[optax.GradientTransformation] = None,
-                axis_name: str = "data") -> TrainState:
-    """Place a host/replicated TrainState onto the mesh with ZeRO-1 layout."""
+                axis_name: str = "data", fsdp: bool = False) -> TrainState:
+    """Place a host/replicated TrainState onto the mesh with ZeRO-1 (or,
+    with ``fsdp=True``, fully sharded) layout."""
     return jax.tree.map(jax.device_put, state,
-                        state_shardings(mesh, cfg, optimizer, axis_name))
+                        state_shardings(mesh, cfg, optimizer, axis_name,
+                                        fsdp))
 
 
 def make_zero1_train_step(
@@ -79,9 +98,11 @@ def make_zero1_train_step(
     cfg: Optional[SVSConfig] = None,
     optimizer: Optional[optax.GradientTransformation] = None,
     axis_name: str = "data",
+    fsdp: bool = False,
 ):
     """Jitted DP ``step(state, batch, rng) -> (state, metrics)`` whose
-    optimizer state lives sharded across ``axis_name`` (ZeRO stage 1).
+    optimizer state — and, with ``fsdp=True``, params and BN state too —
+    lives sharded across ``axis_name`` (ZeRO stage 1 / stage-3-style FSDP).
 
     Same step function as every other mode (``make_step_fn``) — only the
     in/out sharding annotations differ, so the Adam math, sync-BN and
@@ -91,7 +112,7 @@ def make_zero1_train_step(
     """
     cfg = cfg or SVSConfig()
     optimizer = optimizer or make_optimizer(cfg)
-    st_sh = state_shardings(mesh, cfg, optimizer, axis_name)
+    st_sh = state_shardings(mesh, cfg, optimizer, axis_name, fsdp)
     bsh = mesh_lib.batch_sharded(mesh, axis_name)
     rep = mesh_lib.replicated(mesh)
 

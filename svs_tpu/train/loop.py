@@ -92,6 +92,10 @@ class TrainOptions:
     # state (Adam moments, 2x param bytes) across the data axis — ZeRO
     # stage 1, parallel/zero.py.  Same step semantics, different layout.
     zero1: bool = False
+    # fully sharded variant (ZeRO-3/FSDP analogue): params and BN state
+    # shard across the data axis too; XLA gathers kernels on use.
+    # Implies the zero1 machinery; single-process meshes only.
+    fsdp: bool = False
 
 
 def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
@@ -253,17 +257,19 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
             put_val = lambda b: b  # noqa: E731
     elif opts.mesh is not None:
         from svs_tpu.parallel import dp, mesh as mesh_lib, multihost
-        if opts.zero1:
-            # ZeRO-1: same DP program, Adam moments sharded over the data
+        if opts.zero1 or opts.fsdp:
+            # ZeRO-1 / FSDP: same DP program, state sharded over the data
             # axis (parallel/zero.py).  Single-process meshes only — the
             # multi-host distributors assume a replicated state layout.
             if pc > 1:
-                raise ValueError("zero1 supports single-process meshes; "
-                                 "multi-host jobs run plain DP")
+                raise ValueError("zero1/fsdp support single-process "
+                                 "meshes; multi-host jobs run plain DP")
             from svs_tpu.parallel import zero
             train_step = zero.make_zero1_train_step(opts.mesh, cfg,
-                                                    optimizer)
-            state = zero.shard_state(state, opts.mesh, cfg, optimizer)
+                                                    optimizer,
+                                                    fsdp=opts.fsdp)
+            state = zero.shard_state(state, opts.mesh, cfg, optimizer,
+                                     fsdp=opts.fsdp)
         else:
             train_step = dp.make_dp_train_step(opts.mesh, cfg, optimizer)
             state = dp.replicate_state(state, opts.mesh)

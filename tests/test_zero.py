@@ -89,6 +89,44 @@ def test_zero1_step_matches_single_device(rng):
     assert m.addressable_shards[0].data.shape == (5, 5, 64 // n, 128)
 
 
+def test_fsdp_params_shard_and_step_matches(rng):
+    """fsdp=True: params and BN shard by the same rule (per-chip bytes
+    drop), and the step still reproduces the single-device program."""
+    cfg = SVSConfig(dropout_rate=0.0, input_len=64)
+    batch = _batch(rng)
+    key = jax.random.key(1)
+    mesh = mesh_lib.make_mesh()
+    n = mesh.devices.size
+
+    st = zero.shard_state(create_train_state(jax.random.key(0), cfg), mesh,
+                          cfg, fsdp=True)
+    # enc4 kernel (5,5,64,128): first divisible dim is the 64-channel axis
+    w = st.params["enc"][3]["w"]
+    assert w.addressable_shards[0].data.shape == (5, 5, 64 // n, 128)
+    # per-channel vectors shard on dim 0 (enc6's BN scale is (512,))
+    assert st.params["enc"][5]["scale"].addressable_shards[0] \
+        .data.shape == (512 // n,)
+
+    s1, a1 = make_train_step(cfg)(
+        create_train_state(jax.random.key(0), cfg),
+        {k: jnp.asarray(v) for k, v in batch.items()}, key)
+    step = zero.make_zero1_train_step(mesh, cfg, fsdp=True)
+    s2, a2 = step(st, mesh_lib.shard_batch(mesh, batch), key)
+
+    np.testing.assert_allclose(float(a2["total"]), float(a1["total"]),
+                               rtol=1e-5)
+    leaves = [(np.asarray(a), np.asarray(b))
+              for a, b in zip(jax.tree.leaves(s2.params),
+                              jax.tree.leaves(s1.params))]
+    lr = cfg.learning_rate
+    assert max(float(np.max(np.abs(a - b))) for a, b in leaves) <= 2.1 * lr
+    assert (sum(float(np.sum(np.abs(a - b))) for a, b in leaves)
+            / sum(a.size for a, _ in leaves)) < 2e-4
+    # params STAY sharded through the step
+    assert s2.params["enc"][3]["w"].addressable_shards[0].data.shape \
+        == (5, 5, 64 // n, 128)
+
+
 def test_zero1_multi_step_trajectory_matches_dp(rng):
     """Three consecutive steps: ZeRO-1 and plain DP produce the same loss
     trajectory (same program semantics, different moment layout)."""
