@@ -47,6 +47,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="with --dp: fully sharded state (params + BN + "
                         "moments across the data axis; XLA gathers "
                         "kernels on use) — the ZeRO-3/FSDP analogue")
+    p.add_argument("--accum", type=int, default=1, metavar="K",
+                   help="gradient accumulation: update params once every "
+                        "K microbatches with their mean gradient "
+                        "(effective batch = batch_size*K at batch_size "
+                        "HBM cost); resume with the same K")
     p.add_argument("--ckpt_dir", type=str, default="CKPT")
     p.add_argument("--log_dir", type=str, default="LOG")
     p.add_argument("--samples_per_song", type=int, default=None,
@@ -151,6 +156,7 @@ def main(argv=None) -> int:
         epoch_scan=args.epoch_scan,
         zero1=args.zero1,
         fsdp=args.fsdp,
+        accum_steps=args.accum,
     )
     fit(opts, cfg)
     return 0

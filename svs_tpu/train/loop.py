@@ -96,6 +96,11 @@ class TrainOptions:
     # shard across the data axis too; XLA gathers kernels on use.
     # Implies the zero1 machinery; single-process meshes only.
     fsdp: bool = False
+    # gradient accumulation (optax.MultiSteps): params update once every
+    # accum_steps microbatches with their mean gradient — effective batch
+    # = batch_size * accum_steps at batch_size HBM cost.  Changes the
+    # checkpoint opt-state layout: resume with the same value.
+    accum_steps: int = 1
 
 
 def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
@@ -198,7 +203,9 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
             print(f"[svs-tpu] device-resident dataset: "
                   f"{train_ds.nbytes / 2**20:.0f} MiB in HBM")
 
-    optimizer = make_optimizer(cfg)
+    if opts.accum_steps < 1:
+        raise ValueError(f"accum_steps must be >= 1, got {opts.accum_steps}")
+    optimizer = make_optimizer(cfg, accum_steps=opts.accum_steps)
     state = create_train_state(jax.random.key(opts.seed), cfg, optimizer)
     eval_step = make_eval_step(cfg)
 

@@ -34,11 +34,25 @@ class TrainState(NamedTuple):
     step: jax.Array  # int32 scalar
 
 
-def make_optimizer(cfg: Optional[SVSConfig] = None) -> optax.GradientTransformation:
+def make_optimizer(cfg: Optional[SVSConfig] = None,
+                   accum_steps: int = 1) -> optax.GradientTransformation:
+    """Adam with torch defaults (betas 0.9/0.999, eps 1e-8 — reference
+    model.py:116 uses torch.optim.Adam(lr=1e-3) defaults).
+
+    ``accum_steps > 1`` wraps it in ``optax.MultiSteps``: each call
+    accumulates the gradient and the params update once every
+    ``accum_steps`` microbatches with their MEAN gradient — the standard
+    large-effective-batch mechanism when the target batch doesn't fit HBM
+    (no reference counterpart; it trains at whatever batch fits,
+    train.py:396).  Note the checkpoint opt-state layout changes with the
+    wrapper, so a run must resume with the same ``accum_steps``.
+    """
     cfg = cfg or SVSConfig()
-    # Adam with torch defaults (betas 0.9/0.999, eps 1e-8 — reference
-    # model.py:116 uses torch.optim.Adam(lr=1e-3) defaults).
-    return optax.inject_hyperparams(optax.adam)(learning_rate=cfg.learning_rate)
+    opt = optax.inject_hyperparams(optax.adam)(
+        learning_rate=cfg.learning_rate)
+    if accum_steps > 1:
+        opt = optax.MultiSteps(opt, every_k_schedule=accum_steps)
+    return opt
 
 
 def create_train_state(
@@ -54,16 +68,28 @@ def create_train_state(
 
 
 def set_learning_rate(state: TrainState, lr: float) -> TrainState:
-    """Reference train.py:251-254: manually set the LR mid-training."""
-    opt_state = state.opt_state._replace(
-        hyperparams={**state.opt_state.hyperparams,
+    """Reference train.py:251-254: manually set the LR mid-training.
+
+    Handles both the bare ``inject_hyperparams`` state and the
+    ``optax.MultiSteps`` wrapper (gradient accumulation) — the LR lives
+    one level deeper there (``inner_opt_state``)."""
+    opt_state = state.opt_state
+    wrapped = hasattr(opt_state, "inner_opt_state")
+    inner = opt_state.inner_opt_state if wrapped else opt_state
+    inner = inner._replace(
+        hyperparams={**inner.hyperparams,
                      "learning_rate": jnp.asarray(lr, jnp.float32)}
     )
+    opt_state = (opt_state._replace(inner_opt_state=inner) if wrapped
+                 else inner)
     return state._replace(opt_state=opt_state)
 
 
 def get_learning_rate(state: TrainState) -> float:
-    return float(state.opt_state.hyperparams["learning_rate"])
+    opt_state = state.opt_state
+    if hasattr(opt_state, "inner_opt_state"):
+        opt_state = opt_state.inner_opt_state
+    return float(opt_state.hyperparams["learning_rate"])
 
 
 def make_step_fn(cfg: Optional[SVSConfig] = None,

@@ -1,0 +1,141 @@
+"""Gradient accumulation (optax.MultiSteps in make_optimizer): params
+update once every K microbatches with their mean gradient; LR mutation and
+checkpointing work through the wrapper."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from svs_tpu.losses.mrstft import combined_loss
+from svs_tpu.models import unet
+from svs_tpu.train.step import (create_train_state, get_learning_rate,
+                                make_optimizer, make_train_step,
+                                set_learning_rate)
+from svs_tpu.utils.config import SVSConfig
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def _batch(rng, b=4, t=64):
+    mix = rng.random((b, 512, t)).astype(np.float32)
+    voc = (mix * 0.5).astype(np.float32)
+    ang = ((rng.random((b, 512, t)) - 0.5) * 6).astype(np.float32)
+    return {k: jnp.asarray(v) for k, v in
+            {"mix": mix, "voc": voc, "mix_angle": ang,
+             "voc_angle": ang}.items()}
+
+
+def test_k1_is_the_bare_optimizer():
+    cfg = SVSConfig(input_len=64)
+    st = create_train_state(jax.random.key(0), cfg, make_optimizer(cfg, 1))
+    assert hasattr(st.opt_state, "hyperparams")  # no MultiSteps wrapper
+
+
+def test_params_update_only_every_k(rng):
+    cfg = SVSConfig(dropout_rate=0.0, input_len=64)
+    opt = make_optimizer(cfg, accum_steps=3)
+    step = make_train_step(cfg, opt)
+    st = create_train_state(jax.random.key(0), cfg, opt)
+    p0 = jax.tree.map(np.asarray, st.params)
+
+    st, _ = step(st, _batch(rng), jax.random.key(1))
+    st, _ = step(st, _batch(rng), jax.random.key(2))
+    for a, b in zip(jax.tree.leaves(st.params), jax.tree.leaves(p0)):
+        np.testing.assert_array_equal(np.asarray(a), b)  # frozen mid-cycle
+
+    st, _ = step(st, _batch(rng), jax.random.key(3))
+    deltas = [float(np.max(np.abs(np.asarray(a) - b)))
+              for a, b in zip(jax.tree.leaves(st.params),
+                              jax.tree.leaves(p0))]
+    assert max(deltas) > 0  # the k-th microbatch applies the update
+
+
+def test_applied_update_is_mean_gradient(rng):
+    """With an SGD(lr=1) inner optimizer the applied update IS the mean of
+    the per-microbatch gradients — replay them with jax.grad (gradients
+    taken at the UNCHANGED params but the evolving BN state, exactly what
+    the accumulating step sees)."""
+    cfg = SVSConfig(dropout_rate=0.0, input_len=64)
+    inner = optax.inject_hyperparams(optax.sgd)(learning_rate=1.0)
+    opt = optax.MultiSteps(inner, every_k_schedule=2)
+    step = make_train_step(cfg, opt)
+    st = create_train_state(jax.random.key(0), cfg, opt)
+    p0 = st.params
+    bn0 = st.bn_state
+    # the jitted step donates the state, deleting p0's buffers — keep a
+    # host copy for the replay comparison
+    p0_np = jax.tree.map(np.asarray, p0)
+    b1, b2 = _batch(rng), _batch(rng)
+
+    def loss_fn(params, bn_state, batch, key):
+        mask, new_bn = unet.apply(params, bn_state, batch["mix"], train=True,
+                                  dropout_rng=key, cfg=cfg)
+        total, _ = combined_loss(mask, batch["mix"], batch["voc"],
+                                 batch["mix_angle"], batch["voc_angle"], cfg)
+        return total, new_bn
+
+    grad = jax.jit(jax.grad(loss_fn, has_aux=True))
+    g1, bn1 = grad(p0, bn0, b1, jax.random.key(1))
+    g2, _ = grad(p0, bn1, b2, jax.random.key(2))
+    g1_np = jax.tree.map(np.asarray, g1)
+    g2_np = jax.tree.map(np.asarray, g2)
+
+    st, _ = step(st, b1, jax.random.key(1))
+    st, _ = step(st, b2, jax.random.key(2))
+
+    want = jax.tree.map(lambda p, a, b: p - 0.5 * (a + b),
+                        p0_np, g1_np, g2_np)
+    for a, b in zip(jax.tree.leaves(st.params), jax.tree.leaves(want)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-5)
+
+
+def test_lr_mutation_through_the_wrapper():
+    cfg = SVSConfig(input_len=64)
+    opt = make_optimizer(cfg, accum_steps=4)
+    st = create_train_state(jax.random.key(0), cfg, opt)
+    assert get_learning_rate(st) == pytest.approx(cfg.learning_rate)
+    st = set_learning_rate(st, 5e-4)
+    assert get_learning_rate(st) == pytest.approx(5e-4)
+
+
+def test_fit_accum_end_to_end(tmp_path, rng):
+    """fit(accum_steps=2) trains, checkpoints and RESUMES with the wrapped
+    opt state (the MultiSteps counters/buffers round-trip msgpack)."""
+    from svs_tpu.train.loop import TrainOptions, fit
+
+    train_dir = str(tmp_path / "spec")
+    for folder in ("mixture", "vocal"):
+        os.makedirs(os.path.join(train_dir, folder), exist_ok=True)
+    for i in range(2):
+        base = f"{i:04d}_s{i}"
+        for folder in ("mixture", "vocal"):
+            np.save(os.path.join(train_dir, folder, f"{base}_spec.npy"),
+                    rng.random((513, 80)).astype(np.float32))
+            ang = rng.random((513, 80)).astype(np.float32) * 6 - 3
+            np.save(os.path.join(train_dir, folder, f"{base}_phase.npy"),
+                    np.exp(1j * ang).astype(np.complex64))
+
+    cfg = SVSConfig(input_len=64, samples_per_song=2, dropout_rate=0.0)
+    common = dict(
+        train_folder=train_dir, valid_folder="missing", label="ac",
+        batch_size=2, ckpt_dir=str(tmp_path / "CKPT"),
+        log_dir=str(tmp_path / "LOG"), progress=False, accum_steps=2,
+    )
+    state = fit(TrainOptions(epoch=1, load_path="none", **common), cfg)
+    assert int(state.step) == 2  # 2 microbatch steps (one applied update)
+    assert int(state.opt_state.gradient_step) == 1
+    ckpt = str(tmp_path / "CKPT" / "svs_ac.ckpt")
+    assert os.path.exists(ckpt)
+
+    state2 = fit(TrainOptions(epoch=2, load_path=ckpt, **common), cfg)
+    assert int(state2.step) == 4
+    assert int(state2.opt_state.gradient_step) == 2
