@@ -58,7 +58,9 @@ def load_model(model_path: str):
     from svs_tpu.train.step import create_train_state
 
     template = create_train_state(jax.random.key(0))
-    state, _, _ = ckpt_lib.resume(model_path, template)
+    # params/BN only: skip optimizer-state restoration so checkpoints from
+    # ANY training configuration (e.g. --accum's MultiSteps layout) load
+    state, _, _ = ckpt_lib.resume(model_path, template, restore_opt=False)
     return state.params, state.bn_state
 
 

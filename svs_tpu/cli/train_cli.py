@@ -107,6 +107,9 @@ def main(argv=None) -> int:
     parallel = "dp"
     if args.cp and (args.dp or args.tp is not None):
         raise SystemExit("--cp is mutually exclusive with --dp/--tp")
+    if args.accum < 1:
+        raise SystemExit(f"--accum must be a positive microbatch count, "
+                         f"got {args.accum}")
     if (args.zero1 or args.fsdp) and not args.dp:
         raise SystemExit("--zero1/--fsdp shard training state across a "
                          "DP mesh; pass --dp with them")

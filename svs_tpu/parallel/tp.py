@@ -68,8 +68,13 @@ def make_2d_mesh(n_data: int, n_model: int,
     return Mesh(arr, (data_axis, model_axis))
 
 
-def _leaf_spec(shape, tp: int, model_axis: str) -> P:
-    """The uniform channel-sharding rule (module docstring)."""
+def leaf_spec(shape, tp: int, model_axis: str) -> P:
+    """The uniform channel-sharding rule (module docstring).
+
+    Shared with ``parallel/zero.py`` (ZeRO-1/FSDP use the same
+    channel-targeted rule over the ``data`` axis): HWIO kernels shard O
+    when divisible else I — never the 5x5 spatial dims — and per-channel
+    vectors shard dim 0."""
     if tp <= 1:
         return P()
     if len(shape) == 4:  # HWIO conv kernel
@@ -92,7 +97,7 @@ def tree_shardings(tree, mesh: Mesh, model_axis: str = "model"):
     """
     tp = mesh.shape[model_axis] if model_axis in mesh.axis_names else 1
     return jax.tree.map(
-        lambda l: NamedSharding(mesh, _leaf_spec(l.shape, tp, model_axis)),
+        lambda l: NamedSharding(mesh, leaf_spec(l.shape, tp, model_axis)),
         tree)
 
 

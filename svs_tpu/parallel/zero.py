@@ -10,9 +10,10 @@ the XLA SPMD partitioner derives the dataflow (each chip updates its slice
 of the moments, the param update all-gathers once per step) — the same
 "annotate, let XLA insert collectives" recipe as ``parallel/tp.py``.
 
-Sharding rule per leaf: the FIRST dim divisible by the axis size shards
-(conv kernels are HWIO with 5x5 leading dims, so their channel dims carry
-the split); scalars and non-divisible leaves replicate.  Two layouts:
+Sharding rule per leaf: the channel-targeted rule shared with
+``parallel/tp.py`` (``tp.leaf_spec``): HWIO kernels shard O when divisible
+else I — never the 5x5 spatial dims — per-channel vectors shard dim 0,
+scalars and non-divisible leaves replicate.  Two layouts:
 
 - **ZeRO-1** (default): only the moments shard; params/BN replicated —
   the gradient allreduce stays, the Adam update runs on each chip's
@@ -34,7 +35,7 @@ from typing import Optional
 
 import jax
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding
 
 from svs_tpu.parallel import mesh as mesh_lib
 from svs_tpu.train.step import (TrainState, create_train_state,
@@ -42,55 +43,55 @@ from svs_tpu.train.step import (TrainState, create_train_state,
 from svs_tpu.utils.config import SVSConfig
 
 
-def _moment_spec(shape, n: int, axis_name: str) -> P:
-    """First dim divisible by ``n`` shards; otherwise replicate."""
-    if n > 1:
-        for d, s in enumerate(shape):
-            if s % n == 0 and s >= n:
-                return P(*([None] * d + [axis_name]))
-    return P()
+def tree_shardings(state: TrainState, mesh: Mesh, axis_name: str = "data",
+                   fsdp: bool = False) -> TrainState:
+    """TrainState-shaped tree of NamedShardings for a CONCRETE state (or a
+    ``jax.eval_shape`` result).
+
+    ZeRO-1 (default): opt-state moments sharded by the shared channel
+    rule (``tp.leaf_spec`` over the ``data`` axis), everything else
+    replicated.  ``fsdp=True`` (the ZeRO-3/FSDP analogue): params and BN
+    state shard by the same rule too — per-chip state bytes drop
+    ~axis-size-fold and XLA inserts the per-layer param all-gathers the
+    compute needs.
+    """
+    from svs_tpu.parallel import tp
+
+    rep = mesh_lib.replicated(mesh)
+    n = int(mesh.shape[axis_name])
+
+    def rule(l):
+        return NamedSharding(mesh, tp.leaf_spec(l.shape, n, axis_name))
+
+    return TrainState(
+        params=jax.tree.map(rule if fsdp else lambda _: rep, state.params),
+        bn_state=jax.tree.map(rule if fsdp else lambda _: rep,
+                              state.bn_state),
+        opt_state=jax.tree.map(rule, state.opt_state),
+        step=rep,
+    )
 
 
 def state_shardings(mesh: Mesh, cfg: Optional[SVSConfig] = None,
                     optimizer: Optional[optax.GradientTransformation] = None,
                     axis_name: str = "data", fsdp: bool = False
                     ) -> TrainState:
-    """TrainState-shaped tree of NamedShardings.
-
-    ZeRO-1 (default): opt-state moments sharded by the
-    first-divisible-dim rule, everything else replicated.  ``fsdp=True``
-    (the ZeRO-3/FSDP analogue): params and BN state shard by the same
-    rule too — per-chip state bytes drop ~axis-size-fold and XLA inserts
-    the per-layer param all-gathers the compute needs.
-    """
+    """:func:`tree_shardings` from (cfg, optimizer) alone — used where no
+    concrete state exists yet (the jit in/out annotations)."""
     cfg = cfg or SVSConfig()
     optimizer = optimizer or make_optimizer(cfg)
     shapes = jax.eval_shape(
         lambda: create_train_state(jax.random.key(0), cfg, optimizer))
-    rep = mesh_lib.replicated(mesh)
-    n = int(mesh.shape[axis_name])
-
-    def rule(l):
-        return NamedSharding(mesh, _moment_spec(l.shape, n, axis_name))
-
-    return TrainState(
-        params=jax.tree.map(rule if fsdp else lambda _: rep, shapes.params),
-        bn_state=jax.tree.map(rule if fsdp else lambda _: rep,
-                              shapes.bn_state),
-        opt_state=jax.tree.map(rule, shapes.opt_state),
-        step=rep,
-    )
+    return tree_shardings(shapes, mesh, axis_name, fsdp)
 
 
 def shard_state(state: TrainState, mesh: Mesh,
-                cfg: Optional[SVSConfig] = None,
-                optimizer: Optional[optax.GradientTransformation] = None,
                 axis_name: str = "data", fsdp: bool = False) -> TrainState:
     """Place a host/replicated TrainState onto the mesh with ZeRO-1 (or,
-    with ``fsdp=True``, fully sharded) layout."""
+    with ``fsdp=True``, fully sharded) layout.  Derives the shardings from
+    the concrete state — no re-trace of the model init."""
     return jax.tree.map(jax.device_put, state,
-                        state_shardings(mesh, cfg, optimizer, axis_name,
-                                        fsdp))
+                        tree_shardings(state, mesh, axis_name, fsdp))
 
 
 def make_zero1_train_step(

@@ -122,18 +122,34 @@ def save(path: str, state: TrainState, *, epoch: int = 0,
     os.replace(tmp, path)  # atomic: a crash never corrupts the latest ckpt
 
 
-def load(path: str, template: TrainState
+def load(path: str, template: TrainState, restore_opt: bool = True
          ) -> Tuple[TrainState, int, Dict[str, Any]]:
     """Restore a native checkpoint onto a template TrainState (the template
-    supplies the pytree structure, as msgpack stores leaves only)."""
+    supplies the pytree structure, as msgpack stores leaves only).
+
+    ``restore_opt=False`` keeps the template's (fresh) optimizer state —
+    for consumers that only need params/BN (inference, serving, viz), it
+    makes loading independent of the optimizer configuration the run was
+    trained with (e.g. a different ``--accum`` wraps the opt state in
+    ``optax.MultiSteps``, changing its layout)."""
     with open(path, "rb") as f:
         raw = serialization.msgpack_restore(f.read())
     params = serialization.from_state_dict(_to_numpy(template.params),
                                            raw["params"])
     bn_state = serialization.from_state_dict(_to_numpy(template.bn_state),
                                              raw["bn_state"])
-    opt_state = serialization.from_state_dict(template.opt_state,
-                                              raw["opt_state"])
+    if restore_opt:
+        try:
+            opt_state = serialization.from_state_dict(template.opt_state,
+                                                      raw["opt_state"])
+        except (ValueError, KeyError) as e:
+            raise ValueError(
+                f"{path}: checkpoint optimizer state does not match this "
+                f"run's optimizer layout — a run trained with a different "
+                f"gradient-accumulation setting (--accum) must resume with "
+                f"the same one. Underlying error: {e}") from None
+    else:
+        opt_state = template.opt_state
     state = TrainState(
         params=jax.tree.map(jnp.asarray, params),
         bn_state=jax.tree.map(jnp.asarray, bn_state),
@@ -143,15 +159,16 @@ def load(path: str, template: TrainState
     return state, int(raw["epoch"]), raw.get("extras", {})
 
 
-def resume(path: str, template: TrainState
+def resume(path: str, template: TrainState, restore_opt: bool = True
            ) -> Tuple[TrainState, int, Dict[str, Any]]:
     """Load either a native ``.ckpt``/msgpack file or a reference ``.pth``
-    (reference train.py:216-237 resume semantics)."""
+    (reference train.py:216-237 resume semantics).  ``restore_opt=False``
+    for params/BN-only consumers (see :func:`load`)."""
     if path.endswith(".pth"):
         params, bn_state, extras = torch_import.load_pth(path)
         state = template._replace(params=params, bn_state=bn_state)
         return state, int(extras.get("epoch", 0)), extras
-    return load(path, template)
+    return load(path, template, restore_opt=restore_opt)
 
 
 def export_pth(path: str, state: TrainState, *, epoch: int = 0) -> None:

@@ -31,7 +31,7 @@ from svs_tpu.train import checkpoint as ckpt_lib
 from svs_tpu.train.step import (TrainState, create_train_state,
                                 get_learning_rate, make_eval_step,
                                 make_optimizer, make_train_step,
-                                set_learning_rate)
+                                reset_accumulation, set_learning_rate)
 from svs_tpu.utils.config import SVSConfig
 
 
@@ -275,8 +275,7 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
             train_step = zero.make_zero1_train_step(opts.mesh, cfg,
                                                     optimizer,
                                                     fsdp=opts.fsdp)
-            state = zero.shard_state(state, opts.mesh, cfg, optimizer,
-                                     fsdp=opts.fsdp)
+            state = zero.shard_state(state, opts.mesh, fsdp=opts.fsdp)
         else:
             train_step = dp.make_dp_train_step(opts.mesh, cfg, optimizer)
             state = dp.replicate_state(state, opts.mesh)
@@ -407,7 +406,10 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
 
     def _preempt_exit(epoch_to_save: int, already_saved: bool = False):
         if not already_saved and is_primary:
-            save_ckpt(ckpt_weight, state, epoch=epoch_to_save,
+            # resume re-runs the interrupted epoch, so drop any
+            # half-filled accumulation cycle (step.reset_accumulation)
+            save_ckpt(ckpt_weight, reset_accumulation(state),
+                      epoch=epoch_to_save,
                       extras={"loss_list_total": loss_history,
                               "best_val_loss": best_val_loss})
         # saver drain + log flush happen in the enclosing finally

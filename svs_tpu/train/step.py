@@ -85,6 +85,24 @@ def set_learning_rate(state: TrainState, lr: float) -> TrainState:
     return state._replace(opt_state=opt_state)
 
 
+def reset_accumulation(state: TrainState) -> TrainState:
+    """Drop a partially-filled gradient-accumulation cycle (no-op without
+    the ``optax.MultiSteps`` wrapper).
+
+    Used by the mid-epoch preemption save: resume re-runs the interrupted
+    epoch from its first batch, so a saved half-cycle would average the
+    aborted microbatch gradients together with their re-fed copies —
+    zeroing ``mini_step``/``acc_grads`` makes the resumed trajectory start
+    the cycle cleanly instead."""
+    opt = state.opt_state
+    if not hasattr(opt, "mini_step"):
+        return state
+    opt = opt._replace(
+        mini_step=jnp.zeros_like(opt.mini_step),
+        acc_grads=jax.tree.map(jnp.zeros_like, opt.acc_grads))
+    return state._replace(opt_state=opt)
+
+
 def get_learning_rate(state: TrainState) -> float:
     opt_state = state.opt_state
     if hasattr(opt_state, "inner_opt_state"):

@@ -139,3 +139,40 @@ def test_fit_accum_end_to_end(tmp_path, rng):
     state2 = fit(TrainOptions(epoch=2, load_path=ckpt, **common), cfg)
     assert int(state2.step) == 4
     assert int(state2.opt_state.gradient_step) == 2
+
+    # params/BN-only consumers (inference/serve/viz) must load an accum
+    # checkpoint with a default-optimizer template: restore_opt=False skips
+    # the MultiSteps-wrapped opt state entirely
+    from svs_tpu.train import checkpoint as ckpt_lib
+
+    plain = create_train_state(jax.random.key(0), cfg)
+    loaded, ep, _ = ckpt_lib.resume(ckpt, plain, restore_opt=False)
+    assert ep == 2  # the epoch-2 run rewrote the latest checkpoint
+    assert jax.tree.structure(loaded.params) \
+        == jax.tree.structure(plain.params)
+    # ...while a mismatched TRAIN resume fails with the actionable message
+    with pytest.raises(ValueError, match="accum"):
+        ckpt_lib.resume(ckpt, plain)
+
+
+def test_preemption_save_drops_partial_cycle(rng):
+    """reset_accumulation zeroes mini_step/acc_grads (and is a no-op on
+    unwrapped states) — the mid-epoch preemption save contract."""
+    from svs_tpu.train.step import reset_accumulation
+
+    cfg = SVSConfig(dropout_rate=0.0, input_len=64)
+    opt = make_optimizer(cfg, accum_steps=3)
+    step = make_train_step(cfg, opt)
+    st = create_train_state(jax.random.key(0), cfg, opt)
+    st, _ = step(st, _batch(rng), jax.random.key(1))
+    assert int(st.opt_state.mini_step) == 1
+    assert any(float(np.max(np.abs(np.asarray(g)))) > 0
+               for g in jax.tree.leaves(st.opt_state.acc_grads))
+
+    st = reset_accumulation(st)
+    assert int(st.opt_state.mini_step) == 0
+    assert all(float(np.max(np.abs(np.asarray(g)))) == 0
+               for g in jax.tree.leaves(st.opt_state.acc_grads))
+
+    bare = create_train_state(jax.random.key(0), cfg)
+    assert reset_accumulation(bare) is bare

@@ -26,19 +26,18 @@ def _batch(rng, b=8, t=64):
 
 
 def test_moments_shard_for_real():
-    """Adam's mu/nu leaves carry the data-axis split (first divisible dim —
-    channel dims for the 5x5 HWIO kernels); params stay replicated."""
+    """Adam's mu/nu leaves carry the data-axis split (the shared channel
+    rule, tp.leaf_spec: O-dim for these kernels); params stay replicated."""
     cfg = SVSConfig(input_len=64)
     mesh = mesh_lib.make_mesh()
-    st = zero.shard_state(create_train_state(jax.random.key(0), cfg), mesh,
-                          cfg)
+    st = zero.shard_state(create_train_state(jax.random.key(0), cfg), mesh)
     n = mesh.devices.size
     kernel_moments = [l for l in jax.tree.leaves(st.opt_state)
                       if getattr(l, "ndim", 0) == 4
                       and l.shape == (5, 5, 64, 128)]
     assert kernel_moments, "expected Adam moments mirroring the enc4 kernel"
     for m in kernel_moments:
-        assert m.addressable_shards[0].data.shape == (5, 5, 64 // n, 128)
+        assert m.addressable_shards[0].data.shape == (5, 5, 64, 128 // n)
     # params replicated: full shape on every device
     w = st.params["enc"][3]["w"]
     assert w.addressable_shards[0].data.shape == (5, 5, 64, 128)
@@ -62,8 +61,7 @@ def test_zero1_step_matches_single_device(rng):
         {k: jnp.asarray(v) for k, v in batch.items()}, key)
 
     mesh = mesh_lib.make_mesh()
-    st = zero.shard_state(create_train_state(jax.random.key(0), cfg), mesh,
-                          cfg)
+    st = zero.shard_state(create_train_state(jax.random.key(0), cfg), mesh)
     step = zero.make_zero1_train_step(mesh, cfg)
     s2, a2 = step(st, mesh_lib.shard_batch(mesh, batch), key)
 
@@ -86,7 +84,7 @@ def test_zero1_step_matches_single_device(rng):
     n = mesh.devices.size
     m = [l for l in jax.tree.leaves(s2.opt_state)
          if getattr(l, "ndim", 0) == 4 and l.shape == (5, 5, 64, 128)][0]
-    assert m.addressable_shards[0].data.shape == (5, 5, 64 // n, 128)
+    assert m.addressable_shards[0].data.shape == (5, 5, 64, 128 // n)
 
 
 def test_fsdp_params_shard_and_step_matches(rng):
@@ -99,10 +97,10 @@ def test_fsdp_params_shard_and_step_matches(rng):
     n = mesh.devices.size
 
     st = zero.shard_state(create_train_state(jax.random.key(0), cfg), mesh,
-                          cfg, fsdp=True)
-    # enc4 kernel (5,5,64,128): first divisible dim is the 64-channel axis
+                          fsdp=True)
+    # enc4 kernel (5,5,64,128): the channel rule shards the O dim
     w = st.params["enc"][3]["w"]
-    assert w.addressable_shards[0].data.shape == (5, 5, 64 // n, 128)
+    assert w.addressable_shards[0].data.shape == (5, 5, 64, 128 // n)
     # per-channel vectors shard on dim 0 (enc6's BN scale is (512,))
     assert st.params["enc"][5]["scale"].addressable_shards[0] \
         .data.shape == (512 // n,)
@@ -124,7 +122,7 @@ def test_fsdp_params_shard_and_step_matches(rng):
             / sum(a.size for a, _ in leaves)) < 2e-4
     # params STAY sharded through the step
     assert s2.params["enc"][3]["w"].addressable_shards[0].data.shape \
-        == (5, 5, 64 // n, 128)
+        == (5, 5, 64, 128 // n)
 
 
 def test_zero1_multi_step_trajectory_matches_dp(rng):
@@ -137,8 +135,8 @@ def test_zero1_multi_step_trajectory_matches_dp(rng):
 
     st_dp = dp.replicate_state(create_train_state(jax.random.key(0), cfg),
                                mesh)
-    st_z = zero.shard_state(create_train_state(jax.random.key(0), cfg), mesh,
-                            cfg)
+    st_z = zero.shard_state(create_train_state(jax.random.key(0), cfg),
+                            mesh)
     dp_step = dp.make_dp_train_step(mesh, cfg)
     z_step = zero.make_zero1_train_step(mesh, cfg)
 
