@@ -41,7 +41,6 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from svs_tpu.ops import stft as dsp
 
 
 def _windowed_dft(n_fft: int, hop: int, k: int, n_bins_padded: int):

@@ -22,7 +22,7 @@ from typing import Dict, Optional
 
 import jax
 import optax
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh
 
 from svs_tpu.losses.mrstft import combined_loss
 from svs_tpu.models import unet

@@ -12,7 +12,6 @@ Rebuilds the reference's debug tooling:
 
 from __future__ import annotations
 
-import os
 from typing import List, Optional, Tuple
 
 import numpy as np
