@@ -27,6 +27,13 @@ At this model's 9.6M params the HBM win is irrelevant on real chips, so
 like TP these exist for scaled-up variants and to make the memory-scaling
 mechanisms first-class.  Semantics are identical to plain DP — pinned
 against the single-device step in tests/test_zero.py.
+
+Single-process meshes only (``fit`` raises for multi-host): the
+checkpoint/preemption paths snapshot state with ``np.asarray``, which
+requires host-addressable arrays — a multi-host ZeRO layout would need a
+``process_allgather`` on every save and a broadcast-then-shard resume.
+Multi-host jobs run plain DP, where state is replicated and each host
+snapshots locally.
 """
 
 from __future__ import annotations
