@@ -45,6 +45,23 @@ def test_whole_routes_to_halo(setup):
     np.testing.assert_allclose(got, want, atol=3e-5)
 
 
+@pytest.mark.parametrize("t", [1, 63, 64, 65, 200, 513])
+def test_sp_matches_unsharded_at_edge_lengths(setup, t):
+    """Window-count bucketing (lcm of shard count and _SEG_BUCKET) must not
+    change values at any length — including sub-window songs."""
+    cfg, st, _, mesh = setup
+    mag = np.abs(np.random.default_rng(t).standard_normal(
+        (513, t))).astype(np.float32)
+    for mode in ("segments", "overlap"):
+        want = separate.separate_magnitude(
+            st.params, st.bn_state, mag, cfg=cfg, mode=mode)
+        got = separate.separate_magnitude_mesh(
+            st.params, st.bn_state, mag, mesh, cfg=cfg, mode=mode)
+        assert got.shape == want.shape == mag.shape
+        np.testing.assert_allclose(got, want, atol=2e-5,
+                                   err_msg=f"mode={mode} t={t}")
+
+
 def test_unknown_mode_raises(setup):
     cfg, st, mag, mesh = setup
     with pytest.raises(ValueError, match="unknown mode"):
