@@ -149,19 +149,22 @@ def stft_loss(
     into one call measures 23% SLOWER end-to-end because the zero-cotangent
     target half can't be pruned from the backward FFT of the stacked
     tensor."""
-    if impl == "pallas_fused":
+    if impl in ("pallas_fused", "pallas_fused_wide"):
         # whole-resolution fusion: waveform -> SC/log-mag partial sums in
         # one Pallas pass, no frame/magnitude planes in HBM
-        # (ops/pallas/fused_loss.py); x is the prediction, y the target
+        # (ops/pallas/fused_loss.py); x is the prediction, y the target.
+        # '_wide' selects the single-matmul kernel shape (one K*hp-deep
+        # contraction per block instead of K hop-deep ones).
         from svs_tpu.ops.pallas.fused_loss import stft_loss_fused
 
         if x.ndim != 2:
             x = x.reshape(-1, x.shape[-1])
             y = y.reshape(-1, y.shape[-1])
             if weight is not None:
-                raise ValueError("pallas_fused: weight needs (B, T) inputs")
+                raise ValueError(f"{impl}: weight needs (B, T) inputs")
         return stft_loss_fused(x, y, n_fft, hop, win, weight=weight,
-                               w_sc=w_sc, w_log_mag=w_log_mag)
+                               w_sc=w_sc, w_log_mag=w_log_mag,
+                               wide=impl.endswith("_wide"))
     mag = _MAG_IMPLS[impl]
     x_mag = mag(x, n_fft, hop, win)
     y_mag = mag(y, n_fft, hop, win)

@@ -24,6 +24,21 @@ accumulation, power clipped at 1e-8.  Padded rows/bins are masked in-kernel
 so the partials equal the XLA path's norms exactly (not just approximately).
 
 Exposed as ``mr_mag_impl='pallas_fused'`` (losses/mrstft.stft_loss).
+
+Round-3 measurement (docs/ROUND_NOTES): the chunked form loses to the XLA
+matmul path (25.7 vs 16.2 ms bf16 step) because each of its K dots has a
+hop-sized contraction (50-240) — the 128x128 MXU pipeline runs near-empty.
+``wide=True`` is the single-matmul shape VERDICT r2 left noted as the only
+untried lever: the K hop-slabs are assembled in-kernel into ONE
+(TB, K*hp) frame matrix (hp = hop padded to the 128-lane boundary; slabs
+land at aligned offsets in a persistent VMEM scratch whose pad strips are
+zeroed once at grid step 0) and contracted in ONE dot against a
+(K*hp, nbp) basis with zero rows at the pad positions — contraction
+1152/2304/1408 instead of 120/240/50, identical values (the zero basis
+rows kill the pad lanes exactly).  The backward mirrors it: one
+(TB, nbp) @ (nbp, K*hp) dot, sliced back into the same K hop-wide planes
+so the XLA shift-add fold is shared with the chunked path.  HBM traffic
+is unchanged (same tight slab inputs, same plane outputs).
 """
 
 from __future__ import annotations
@@ -43,10 +58,14 @@ _EPS = 1e-8
 _INTERPRET = False  # set True in tests on CPU
 
 
-def _tb(n_fft: int) -> int:
+def _tb(n_fft: int, wide: bool = False) -> int:
     # frames per grid block: halve for the 2048-wide resolution — two
-    # signals' accumulators + the shared bf16 bases must fit VMEM
-    return 128 if n_fft >= 2048 else 256
+    # signals' accumulators + the shared bf16 bases must fit VMEM.  The
+    # wide variant adds two (tb, k*hp) scratches and a ~6% bigger basis,
+    # so it halves again at 2048 (bases 10.6 MB + scratch + accums).
+    if n_fft >= 2048:
+        return 64 if wide else 128
+    return 256
 
 
 def _z_views_bf16(x: jax.Array, n_fft: int, hop: int, tb: int):
@@ -60,6 +79,71 @@ def _z_views_bf16(x: jax.Array, n_fft: int, hop: int, tb: int):
     z = jnp.pad(xp, [(0, 0), (0, padded - xp.shape[1])]
                 ).astype(jnp.bfloat16).reshape(b, rows + k, hop)
     return [jax.lax.slice_in_dim(z, j, j + rows, axis=1) for j in range(k)]
+
+
+def _hp(hop: int) -> int:
+    """hop padded up to the 128-lane boundary (wide-variant slab stride)."""
+    return -(-hop // 128) * 128
+
+
+@functools.lru_cache(maxsize=16)
+def _bases_wide(n_fft: int, hop: int, win: int, k: int, nbp: int):
+    """(k*hp, nbp) cos/sin bases for the single-matmul variant: chunk j's
+    hop rows sit at offset j*hp; the (hp-hop) pad rows between chunks are
+    zero, so the wide dot against a scratch whose pad lanes are zero equals
+    the chunked sum exactly."""
+    import ml_dtypes
+    import numpy as np
+
+    from svs_tpu.ops.stft import centered_hann_dft
+
+    hp = _hp(hop)
+    n_bins = n_fft // 2 + 1
+    c, s = centered_hann_dft(n_fft, win)
+    cos = np.zeros((k * hp, nbp), np.float32)
+    sin = np.zeros((k * hp, nbp), np.float32)
+    for j in range(k):
+        lo = j * hop
+        n = min(n_fft - lo, hop)  # rows past n_fft are zero (k*hop >= n_fft)
+        if n > 0:
+            cos[j * hp:j * hp + n, :n_bins] = c[lo:lo + n]
+            sin[j * hp:j * hp + n, :n_bins] = s[lo:lo + n]
+    bf16 = ml_dtypes.bfloat16
+    return cos.astype(bf16), sin.astype(bf16)
+
+
+def _fill_scratch(f_ref, z_refs, k, hop, hp, zero_pads):
+    """Store the k tight slabs at their aligned offsets; on the first grid
+    step also zero the whole scratch so the (hp-hop) pad strips — which no
+    slab ever writes — stay zero for the entire grid."""
+    if zero_pads:
+        first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+
+        @pl.when(first)
+        def _zero():
+            f_ref[...] = jnp.zeros_like(f_ref)
+    for j in range(k):
+        f_ref[:, j * hp:j * hp + hop] = z_refs[j][0]
+
+
+def _mags_wide(zx_refs, zy_refs, cos_ref, sin_ref, fx_ref, fy_ref,
+               k, hop, hp):
+    zero_pads = hp != hop
+    _fill_scratch(fx_ref, zx_refs, k, hop, hp, zero_pads)
+    _fill_scratch(fy_ref, zy_refs, k, hop, hp, zero_pads)
+    fx = fx_ref[...]
+    fy = fy_ref[...]
+    cos = cos_ref[...]
+    sin = sin_ref[...]
+    rex = jnp.dot(fx, cos, preferred_element_type=jnp.float32)
+    imx = jnp.dot(fx, sin, preferred_element_type=jnp.float32)
+    rey = jnp.dot(fy, cos, preferred_element_type=jnp.float32)
+    imy = jnp.dot(fy, sin, preferred_element_type=jnp.float32)
+    px = rex * rex + imx * imx
+    py = rey * rey + imy * imy
+    mx = jnp.sqrt(jnp.clip(px, _EPS, None))
+    my = jnp.sqrt(jnp.clip(py, _EPS, None))
+    return rex, imx, px, mx, my
 
 
 def _mags(zx_refs, zy_refs, cos_ref, sin_ref, k, shape):
@@ -107,6 +191,51 @@ def _fwd_kernel(*refs, k, n_frames, n_bins, tb):
         valid * jnp.abs(jnp.log(mx) - jnp.log(my)), axis=0, keepdims=True)
 
 
+def _fwd_kernel_wide(*refs, k, n_frames, n_bins, tb, hop):
+    hp = _hp(hop)
+    zx_refs, zy_refs = refs[:k], refs[k:2 * k]
+    cos_ref, sin_ref, diff_ref, ref_ref, log_ref, fx_ref, fy_ref = refs[2 * k:]
+    i = pl.program_id(1)
+    _, _, _, mx, my = _mags_wide(zx_refs, zy_refs, cos_ref, sin_ref,
+                                 fx_ref, fy_ref, k, hop, hp)
+    valid = _valid_mask(i, tb, cos_ref.shape[-1], n_frames, n_bins)
+    d = my - mx
+    diff_ref[0, pl.dslice(i, 1)] = jnp.sum(valid * d * d, axis=0,
+                                           keepdims=True)
+    ref_ref[0, pl.dslice(i, 1)] = jnp.sum(valid * my * my, axis=0,
+                                          keepdims=True)
+    log_ref[0, pl.dslice(i, 1)] = jnp.sum(
+        valid * jnp.abs(jnp.log(mx) - jnp.log(my)), axis=0, keepdims=True)
+
+
+def _bwd_kernel_wide(*refs, k, n_frames, n_bins, tb, hop):
+    hp = _hp(hop)
+    zx_refs, zy_refs = refs[:k], refs[k:2 * k]
+    cos_ref, sin_ref, g_ref = refs[2 * k:2 * k + 3]
+    plane_refs = refs[2 * k + 3:2 * k + 3 + k]
+    fx_ref, fy_ref = refs[2 * k + 3 + k:]
+    bb = pl.program_id(0)
+    i = pl.program_id(1)
+    nbp = cos_ref.shape[-1]
+    rex, imx, px, mx, my = _mags_wide(zx_refs, zy_refs, cos_ref, sin_ref,
+                                      fx_ref, fy_ref, k, hop, hp)
+    valid = _valid_mask(i, tb, nbp, n_frames, n_bins)
+    c_diff = g_ref[bb, 0]
+    c_log = g_ref[bb, 2]
+    gmag = valid * (c_diff * (-2.0) * (my - mx)
+                    + c_log * jnp.sign(mx - my) / mx)
+    live = (px >= _EPS).astype(jnp.float32)
+    scale = gmag * live / mx
+    gre = (scale * rex).astype(jnp.bfloat16)
+    gim = (scale * imx).astype(jnp.bfloat16)
+    # one wide dot (contraction nbp, output k*hp lanes) instead of k
+    # hop-wide ones; slice the shared fold's hop-wide planes back out
+    dz = jnp.dot(gre, cos_ref[...].T, preferred_element_type=jnp.float32)
+    dz += jnp.dot(gim, sin_ref[...].T, preferred_element_type=jnp.float32)
+    for j in range(k):
+        plane_refs[j][0] = dz[:, j * hp:j * hp + hop]
+
+
 def _bwd_kernel(*refs, k, n_frames, n_bins, tb):
     zx_refs, zy_refs = refs[:k], refs[k:2 * k]
     cos_ref, sin_ref, g_ref = refs[2 * k:2 * k + 3]
@@ -135,35 +264,54 @@ def _bwd_kernel(*refs, k, n_frames, n_bins, tb):
         plane_refs[j][0] = dz
 
 
-def _launch_geometry(x, n_fft, hop, win):
+def _launch_geometry(x, n_fft, hop, win, wide):
     b, t = x.shape
-    tb = _tb(n_fft)
+    tb = _tb(n_fft, wide)
     k, n_frames, n_blocks, rows, n_bins, nbp = _geometry(t, n_fft, hop, tb)
-    cos, sin = _bases(n_fft, hop, win, k, nbp)
     z_spec = pl.BlockSpec((1, tb, hop), lambda bb, i: (bb, i, 0),
                           memory_space=pltpu.VMEM)
-    basis = pl.BlockSpec((k, hop, nbp), lambda bb, i: (0, 0, 0),
-                         memory_space=pltpu.VMEM)
+    if wide:
+        cos, sin = _bases_wide(n_fft, hop, win, k, nbp)
+        basis = pl.BlockSpec((k * _hp(hop), nbp), lambda bb, i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    else:
+        cos, sin = _bases(n_fft, hop, win, k, nbp)
+        basis = pl.BlockSpec((k, hop, nbp), lambda bb, i: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
     return (b, t, tb, k, n_frames, n_blocks, rows, n_bins, nbp,
             cos, sin, z_spec, basis)
 
 
-def _run_fwd(x, y, n_fft, hop, win):
+def _scratch(tb, k, hop):
+    # the two persistent (tb, k*hp) bf16 frame matrices of the wide variant
+    shape = (tb, k * _hp(hop))
+    return [pltpu.VMEM(shape, jnp.bfloat16), pltpu.VMEM(shape, jnp.bfloat16)]
+
+
+def _run_fwd(x, y, n_fft, hop, win, wide):
     (b, t, tb, k, n_frames, n_blocks, rows, n_bins, nbp,
-     cos, sin, z_spec, basis) = _launch_geometry(x, n_fft, hop, win)
+     cos, sin, z_spec, basis) = _launch_geometry(x, n_fft, hop, win, wide)
     zx = _z_views_bf16(x, n_fft, hop, tb)
     zy = _z_views_bf16(y, n_fft, hop, tb)
 
     part_spec = pl.BlockSpec((1, n_blocks, nbp), lambda bb, i: (bb, 0, 0),
                              memory_space=pltpu.VMEM)
     part_shape = jax.ShapeDtypeStruct((b, n_blocks, nbp), jnp.float32)
+    if wide:
+        kernel = functools.partial(_fwd_kernel_wide, k=k, n_frames=n_frames,
+                                   n_bins=n_bins, tb=tb, hop=hop)
+        scratch = _scratch(tb, k, hop)
+    else:
+        kernel = functools.partial(_fwd_kernel, k=k, n_frames=n_frames,
+                                   n_bins=n_bins, tb=tb)
+        scratch = []
     diff, ref, log = pl.pallas_call(
-        functools.partial(_fwd_kernel, k=k, n_frames=n_frames,
-                          n_bins=n_bins, tb=tb),
+        kernel,
         grid=(b, n_blocks),
         in_specs=[z_spec] * (2 * k) + [basis, basis],
         out_specs=(part_spec, part_spec, part_spec),
         out_shape=(part_shape, part_shape, part_shape),
+        scratch_shapes=scratch,
         interpret=_INTERPRET,
     )(*zx, *zy, jnp.asarray(cos), jnp.asarray(sin))
     # (B, n_blocks, nbp) -> per-example scalars (B, 3)
@@ -171,24 +319,25 @@ def _run_fwd(x, y, n_fft, hop, win):
                       log.sum(axis=(1, 2))], axis=-1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def loss_partials(x: jax.Array, y: jax.Array, n_fft: int, hop: int,
-                  win: int) -> jax.Array:
+                  win: int, wide: bool = False) -> jax.Array:
     """Per-example partial sums (B, 3) = [sum(|Y|-|X|)^2, sum|Y|^2,
     sum|log|X|-log|Y||] over the (n_bins, n_frames) STFT magnitudes of
     x (prediction) and y (target), both (B, T).  Differentiable in x only
-    (y receives a symbolic zero — it is the training target)."""
-    return _run_fwd(x, y, n_fft, hop, win)
+    (y receives a symbolic zero — it is the training target).  wide=True
+    selects the single-matmul kernel shape (module docstring)."""
+    return _run_fwd(x, y, n_fft, hop, win, wide)
 
 
-def _vjp_fwd(x, y, n_fft, hop, win):
-    return _run_fwd(x, y, n_fft, hop, win), (x, y)
+def _vjp_fwd(x, y, n_fft, hop, win, wide):
+    return _run_fwd(x, y, n_fft, hop, win, wide), (x, y)
 
 
-def _vjp_bwd(n_fft, hop, win, res, g):
+def _vjp_bwd(n_fft, hop, win, wide, res, g):
     x, y = res
     (b, t, tb, k, n_frames, n_blocks, rows, n_bins, nbp,
-     cos, sin, z_spec, basis) = _launch_geometry(x, n_fft, hop, win)
+     cos, sin, z_spec, basis) = _launch_geometry(x, n_fft, hop, win, wide)
     zx = _z_views_bf16(x, n_fft, hop, tb)
     zy = _z_views_bf16(y, n_fft, hop, tb)
 
@@ -196,14 +345,22 @@ def _vjp_bwd(n_fft, hop, win, res, g):
                           memory_space=pltpu.SMEM)
     plane_spec = pl.BlockSpec((1, tb, hop), lambda bb, i: (bb, i, 0),
                               memory_space=pltpu.VMEM)
+    if wide:
+        kernel = functools.partial(_bwd_kernel_wide, k=k, n_frames=n_frames,
+                                   n_bins=n_bins, tb=tb, hop=hop)
+        scratch = _scratch(tb, k, hop)
+    else:
+        kernel = functools.partial(_bwd_kernel, k=k, n_frames=n_frames,
+                                   n_bins=n_bins, tb=tb)
+        scratch = []
     planes = pl.pallas_call(
-        functools.partial(_bwd_kernel, k=k, n_frames=n_frames,
-                          n_bins=n_bins, tb=tb),
+        kernel,
         grid=(b, n_blocks),
         in_specs=[z_spec] * (2 * k) + [basis, basis, g_spec],
         out_specs=[plane_spec] * k,
         out_shape=[jax.ShapeDtypeStruct((b, rows, hop), jnp.float32)
                    for _ in range(k)],
+        scratch_shapes=scratch,
         interpret=_INTERPRET,
     )(*zx, *zy, jnp.asarray(cos), jnp.asarray(sin),
       g.astype(jnp.float32))
@@ -227,16 +384,17 @@ loss_partials.defvjp(_vjp_fwd, _vjp_bwd)
 
 def stft_loss_fused(x: jax.Array, y: jax.Array, n_fft: int, hop: int,
                     win: int, weight=None, w_sc: float = 1.0,
-                    w_log_mag: float = 1.0) -> jax.Array:
+                    w_log_mag: float = 1.0, wide: bool = False) -> jax.Array:
     """Single-resolution SC + log-mag loss via the fused partials kernel;
     exact same definition as losses.mrstft.stft_loss (auraloss defaults),
     bf16-matmul numerics.  x = prediction (differentiated), y = target
-    (constant); both (B, T) waveforms."""
+    (constant); both (B, T) waveforms.  wide selects the single-matmul
+    kernel shape (module docstring)."""
     if x.ndim != 2:
         raise ValueError("stft_loss_fused expects (B, T) waveforms")
-    p = loss_partials(x, jax.lax.stop_gradient(y), n_fft, hop, win)
+    p = loss_partials(x, jax.lax.stop_gradient(y), n_fft, hop, win, wide)
     _, n_frames, _, _, n_bins, _ = _geometry(x.shape[1], n_fft, hop,
-                                             _tb(n_fft))
+                                             _tb(n_fft, wide))
     if weight is None:
         s = jnp.sum(p, axis=0)
         n_examples = x.shape[0] * 1.0

@@ -21,20 +21,22 @@ def interpret_mode():
 RESOLUTIONS = [(1024, 120, 600), (2048, 240, 1200), (512, 50, 240)]
 
 
+@pytest.mark.parametrize("impl", ["pallas_fused", "pallas_fused_wide"])
 @pytest.mark.parametrize("n_fft,hop,win", RESOLUTIONS)
-def test_loss_matches_matmul_path(rng, n_fft, hop, win):
+def test_loss_matches_matmul_path(rng, n_fft, hop, win, impl):
     x = jnp.asarray((rng.standard_normal((2, 20000)) * 0.3
                      ).astype(np.float32))
     y = jnp.asarray((rng.standard_normal((2, 20000)) * 0.3
                      ).astype(np.float32))
-    got = float(mrstft.stft_loss(x, y, n_fft, hop, win, impl="pallas_fused"))
+    got = float(mrstft.stft_loss(x, y, n_fft, hop, win, impl=impl))
     want = float(mrstft.stft_loss(x, y, n_fft, hop, win, impl="matmul_bf16"))
     # identical bf16-matmul numerics up to reduction order (partials are
     # masked in-kernel, so padding contributes nothing)
     np.testing.assert_allclose(got, want, rtol=1e-4)
 
 
-def test_grad_matches_matmul_path(rng):
+@pytest.mark.parametrize("impl", ["pallas_fused", "pallas_fused_wide"])
+def test_grad_matches_matmul_path(rng, impl):
     n_fft, hop, win = 1024, 120, 600
     x = jnp.asarray((rng.standard_normal((1, 12000)) * 0.3
                      ).astype(np.float32))
@@ -42,7 +44,7 @@ def test_grad_matches_matmul_path(rng):
                      ).astype(np.float32))
 
     gf = jax.grad(lambda x: mrstft.stft_loss(x, y, n_fft, hop, win,
-                                             impl="pallas_fused"))(x)
+                                             impl=impl))(x)
     gm = jax.grad(lambda x: mrstft.stft_loss(x, y, n_fft, hop, win,
                                              impl="matmul_bf16"))(x)
     gf, gm = np.asarray(gf), np.asarray(gm)
@@ -90,3 +92,36 @@ def test_mr_stft_loss_with_fused_impl(rng):
     got = float(mrstft.mr_stft_loss(x, y, impl="pallas_fused"))
     want = float(mrstft.mr_stft_loss(x, y, impl="matmul_bf16"))
     np.testing.assert_allclose(got, want, rtol=5e-3)
+
+
+@pytest.mark.parametrize("n_fft,hop,win", RESOLUTIONS)
+def test_wide_partials_match_chunked(rng, n_fft, hop, win):
+    """The single-matmul shape computes the SAME contraction as the chunked
+    sum (zero basis rows kill the scratch pad lanes), so the partial sums
+    agree to MXU reduction-order tolerance."""
+    x = jnp.asarray((rng.standard_normal((2, 20000)) * 0.3
+                     ).astype(np.float32))
+    y = jnp.asarray((rng.standard_normal((2, 20000)) * 0.3
+                     ).astype(np.float32))
+    a = np.asarray(fused_loss.loss_partials(x, y, n_fft, hop, win, False))
+    b = np.asarray(fused_loss.loss_partials(x, y, n_fft, hop, win, True))
+    np.testing.assert_allclose(a, b, rtol=2e-4)
+
+
+def test_wide_grad_matches_chunked(rng):
+    """Both kernel shapes feed the identical XLA fold, so waveform
+    cotangents agree to bf16-rounding tolerance."""
+    n_fft, hop, win = 512, 50, 240  # the heaviest-padded geometry (50->128)
+    x = jnp.asarray((rng.standard_normal((1, 9000)) * 0.3
+                     ).astype(np.float32))
+    y = jnp.asarray((rng.standard_normal((1, 9000)) * 0.3
+                     ).astype(np.float32))
+    gc = jax.grad(lambda x: jnp.sum(fused_loss.loss_partials(
+        x, y, n_fft, hop, win, False)[:, (0, 2)]))(x)
+    gw = jax.grad(lambda x: jnp.sum(fused_loss.loss_partials(
+        x, y, n_fft, hop, win, True)[:, (0, 2)]))(x)
+    gc, gw = np.asarray(gc), np.asarray(gw)
+    scale = np.abs(gc).max()
+    assert np.abs(gw - gc).max() / scale < 2e-2
+    cos = (gw * gc).sum() / (np.linalg.norm(gw) * np.linalg.norm(gc))
+    assert cos > 0.9999
