@@ -1,0 +1,144 @@
+"""Round-3 session-4 chip measurements, all in ONE process (the tunnel
+wedges after killed-mid-compile processes — prefer one long run).
+
+Phases, each independently try/excepted and flushed as a JSON line:
+  1. fused-loss step bench: matmul_bf16 vs pallas_fused vs pallas_fused_wide
+     (the round's new single-matmul kernel shape) at B=32 bf16.
+  2. gradient-accumulation A/B on the convergence-demo dataset:
+     (batch 32, accum 1) vs (batch 8, accum 4) — same effective batch and
+     update count; trajectories should track (BN batch stats legitimately
+     differ at microbatch size 8) and held-out SDR should match.
+  3. bench.py snapshot (the driver's round-end line, for continuity).
+
+Run on the real TPU:  python scripts/chip_session4.py [workdir]
+Results also land in <workdir>/chip_session4.json.
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+RESULTS = {}
+
+
+def emit(name, payload):
+    RESULTS[name] = payload
+    print(json.dumps({name: payload}), flush=True)
+
+
+def phase_fused_loss(batch=32):
+    from svs_tpu.utils.benchmark import train_step_bench
+    from svs_tpu.utils.config import get_config
+
+    out = {}
+    for impl in ("matmul_bf16", "pallas_fused", "pallas_fused_wide"):
+        cfg = dataclasses.replace(get_config("default"), mr_mag_impl=impl)
+        r = train_step_bench(cfg, batch_size=batch)
+        out[impl] = {"ms_per_step": r.get("train_step_ms"),
+                     "mfu_pct": r.get("train_mfu_pct")}
+        print(f"  {impl}: {out[impl]}", flush=True)
+    emit("fused_loss_step_b32_bf16", out)
+
+
+def phase_accum_ab(work, epochs=80):
+    from convergence_demo import make_split
+    from svs_tpu.data import prep
+    from svs_tpu.train.loop import TrainOptions, fit
+    from svs_tpu.utils.config import get_config
+    from svs_tpu.data import wav as wavio
+    from svs_tpu.evaluation import bss
+    from svs_tpu.infer import separate
+
+    cfg = get_config("default")
+    sr = cfg.sample_rate
+    splits = {"train": (6, 30.0, 1, (392.0, 440.0, 494.0, 523.0, 587.0,
+                                     659.0)),
+              "valid": (2, 20.0, 2, (415.0, 554.0)),
+              "test": (2, 20.0, 3, (466.0, 622.0))}
+    for name, (n, secs, seed, pitches) in splits.items():
+        make_split(os.path.join(work, "songs", name), n, sr, secs, seed,
+                   pitches)
+        prep.to_spec(os.path.join(work, "songs", name),
+                     os.path.join(work, "spec", name),
+                     win_size=cfg.window_size, hop_size=cfg.hop_size, sr=sr)
+    print("  prep done", flush=True)
+
+    out = {}
+    for arm, (bs, accum) in {"b32_accum1": (32, 1),
+                             "b8_accum4": (8, 4)}.items():
+        log = os.path.join(work, "LOG", f"log_{arm}.txt")
+        if os.path.exists(log):
+            os.remove(log)
+        t0 = time.perf_counter()
+        state = fit(TrainOptions(
+            train_folder=os.path.join(work, "spec", "train"),
+            valid_folder=os.path.join(work, "spec", "valid"),
+            label=arm, epoch=epochs, batch_size=bs, accum_steps=accum,
+            val_interval=20, ckpt_dir=os.path.join(work, "CKPT"),
+            log_dir=os.path.join(work, "LOG"),
+            load_path=os.path.join(work, "none"), progress=False,
+            seed=0,
+        ), cfg)
+        wall = time.perf_counter() - t0
+        train_losses, val_losses = [], []
+        with open(log) as f:
+            for line in f:
+                if line.startswith("Val"):
+                    val_losses.append(float(line.split()[1]))
+                elif line.strip():
+                    train_losses.append(float(line.strip()))
+        sdrs = []
+        test_dir = os.path.join(work, "songs", "test")
+        for song in sorted(os.listdir(test_dir)):
+            mix, _ = wavio.load_audio(
+                os.path.join(test_dir, song, "mixture.wav"), sr=sr)
+            ref, _ = wavio.load_audio(
+                os.path.join(test_dir, song, "vocals.wav"), sr=sr)
+            est = separate.separate_wav(state.params, state.bn_state, mix,
+                                        cfg=cfg)
+            m = bss.compute_metrics_for_track(mix, ref, est)
+            sdrs.append(round(m["SDR"], 2))
+        out[arm] = {"wall_s": round(wall, 1),
+                    "steps": int(state.step),
+                    "loss_first": train_losses[0],
+                    "loss_ep20": train_losses[19] if len(train_losses) > 19
+                    else None,
+                    "loss_last": train_losses[-1],
+                    "val_best": min(val_losses) if val_losses else None,
+                    "test_sdr": sdrs}
+        print(f"  {arm}: {out[arm]}", flush=True)
+    emit("accum_ab", out)
+
+
+def phase_bench_snapshot():
+    from svs_tpu.utils.benchmark import run_bench
+    emit("bench_snapshot", run_bench())
+
+
+def main():
+    work = sys.argv[1] if len(sys.argv) > 1 else "/tmp/chip_session4"
+    os.makedirs(work, exist_ok=True)
+    import jax
+    print(f"devices: {jax.devices()}", flush=True)
+    for name, fn in [("fused_loss", phase_fused_loss),
+                     ("accum_ab", lambda: phase_accum_ab(work)),
+                     ("bench", phase_bench_snapshot)]:
+        t0 = time.perf_counter()
+        print(f"== phase {name}", flush=True)
+        try:
+            fn()
+        except Exception as e:  # keep later phases alive
+            emit(name + "_error", repr(e)[:500])
+        print(f"== phase {name} done in {time.perf_counter() - t0:.0f}s",
+              flush=True)
+    with open(os.path.join(work, "chip_session4.json"), "w") as f:
+        json.dump(RESULTS, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
