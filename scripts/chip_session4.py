@@ -46,26 +46,12 @@ def phase_fused_loss(batch=32):
 
 
 def phase_accum_ab(work, epochs=80):
-    from convergence_demo import make_split
-    from svs_tpu.data import prep
+    from convergence_demo import eval_test_sdr, parse_log, prep_splits
     from svs_tpu.train.loop import TrainOptions, fit
     from svs_tpu.utils.config import get_config
-    from svs_tpu.data import wav as wavio
-    from svs_tpu.evaluation import bss
-    from svs_tpu.infer import separate
 
     cfg = get_config("default")
-    sr = cfg.sample_rate
-    splits = {"train": (6, 30.0, 1, (392.0, 440.0, 494.0, 523.0, 587.0,
-                                     659.0)),
-              "valid": (2, 20.0, 2, (415.0, 554.0)),
-              "test": (2, 20.0, 3, (466.0, 622.0))}
-    for name, (n, secs, seed, pitches) in splits.items():
-        make_split(os.path.join(work, "songs", name), n, sr, secs, seed,
-                   pitches)
-        prep.to_spec(os.path.join(work, "songs", name),
-                     os.path.join(work, "spec", name),
-                     win_size=cfg.window_size, hop_size=cfg.hop_size, sr=sr)
+    prep_splits(work, cfg)
     print("  prep done", flush=True)
 
     out = {}
@@ -85,24 +71,7 @@ def phase_accum_ab(work, epochs=80):
             seed=0,
         ), cfg)
         wall = time.perf_counter() - t0
-        train_losses, val_losses = [], []
-        with open(log) as f:
-            for line in f:
-                if line.startswith("Val"):
-                    val_losses.append(float(line.split()[1]))
-                elif line.strip():
-                    train_losses.append(float(line.strip()))
-        sdrs = []
-        test_dir = os.path.join(work, "songs", "test")
-        for song in sorted(os.listdir(test_dir)):
-            mix, _ = wavio.load_audio(
-                os.path.join(test_dir, song, "mixture.wav"), sr=sr)
-            ref, _ = wavio.load_audio(
-                os.path.join(test_dir, song, "vocals.wav"), sr=sr)
-            est = separate.separate_wav(state.params, state.bn_state, mix,
-                                        cfg=cfg)
-            m = bss.compute_metrics_for_track(mix, ref, est)
-            sdrs.append(round(m["SDR"], 2))
+        train_losses, val_losses = parse_log(log)
         out[arm] = {"wall_s": round(wall, 1),
                     "steps": int(state.step),
                     "loss_first": train_losses[0],
@@ -110,7 +79,8 @@ def phase_accum_ab(work, epochs=80):
                     else None,
                     "loss_last": train_losses[-1],
                     "val_best": min(val_losses) if val_losses else None,
-                    "test_sdr": sdrs}
+                    "test_sdr": [r["sdr"]
+                                 for r in eval_test_sdr(state, work, cfg)]}
         print(f"  {arm}: {out[arm]}", flush=True)
     emit("accum_ab", out)
 
@@ -120,11 +90,38 @@ def phase_bench_snapshot():
     emit("bench_snapshot", run_bench())
 
 
+def _bounded_devices(timeout_s=120.0):
+    """Probe jax.devices() under a watchdog: on this rig a wedged tunnel
+    makes it block indefinitely (CLAUDE.md), and this script's whole point
+    is to run the moment the link returns — fail loudly, don't hang."""
+    import threading
+
+    import jax
+
+    probe: list = []
+
+    def _probe():
+        try:
+            probe.append(jax.devices())
+        except Exception as e:  # noqa: BLE001 — surfaced below
+            probe.append(e)
+
+    t = threading.Thread(target=_probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not probe:
+        raise RuntimeError(
+            f"jax.devices() did not return within {timeout_s:.0f} s — the "
+            "tunnel is still wedged; retry when the link recovers.")
+    if isinstance(probe[0], Exception):
+        raise probe[0]
+    return probe[0]
+
+
 def main():
     work = sys.argv[1] if len(sys.argv) > 1 else "/tmp/chip_session4"
     os.makedirs(work, exist_ok=True)
-    import jax
-    print(f"devices: {jax.devices()}", flush=True)
+    print(f"devices: {_bounded_devices()}", flush=True)
     for name, fn in [("fused_loss", phase_fused_loss),
                      ("accum_ab", lambda: phase_accum_ab(work)),
                      ("bench", phase_bench_snapshot)]:

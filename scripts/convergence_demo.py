@@ -71,6 +71,57 @@ def make_split(root, n_songs, sr, secs, seed, pitches):
         wavio.write_wav(os.path.join(d, "mixture.wav"), vocal + accomp, sr)
 
 
+def prep_splits(work, cfg):
+    """Synthesize the demo's train/valid/test songs and run to_spec on each
+    split — the fixed dataset every on-chip A/B in this repo trains on."""
+    sr = cfg.sample_rate
+    splits = {"train": (6, 30.0, 1, (392.0, 440.0, 494.0, 523.0, 587.0,
+                                     659.0)),
+              "valid": (2, 20.0, 2, (415.0, 554.0)),
+              "test": (2, 20.0, 3, (466.0, 622.0))}
+    for name, (n, secs, seed, pitches) in splits.items():
+        make_split(os.path.join(work, "songs", name), n, sr, secs, seed,
+                   pitches)
+        prep.to_spec(os.path.join(work, "songs", name),
+                     os.path.join(work, "spec", name),
+                     win_size=cfg.window_size, hop_size=cfg.hop_size, sr=sr)
+
+
+def parse_log(path):
+    """(train_losses, val_losses) from the reference-contract text log."""
+    train_losses, val_losses = [], []
+    with open(path) as f:
+        for line in f:
+            if line.startswith("Val"):
+                val_losses.append(float(line.split()[1]))
+            elif line.strip():
+                train_losses.append(float(line.strip()))
+    return train_losses, val_losses
+
+
+def eval_test_sdr(state, work, cfg, write_wavs=False):
+    """Whole-song separation + BSS-eval over the demo's test split.
+    Returns one metrics dict per song (SDR/SIR/SAR/NSDR, rounded)."""
+    sr = cfg.sample_rate
+    out = []
+    test_dir = os.path.join(work, "songs", "test")
+    for song in sorted(os.listdir(test_dir)):
+        mix, _ = wavio.load_audio(os.path.join(test_dir, song, "mixture.wav"),
+                                  sr=sr)
+        ref, _ = wavio.load_audio(os.path.join(test_dir, song, "vocals.wav"),
+                                  sr=sr)
+        est = separate.separate_wav(state.params, state.bn_state, mix,
+                                    cfg=cfg)
+        m = bss.compute_metrics_for_track(mix, ref, est)
+        out.append({"song": song, "sdr": round(m["SDR"], 2),
+                    "sir": round(m["SIR"], 2), "sar": round(m["SAR"], 2),
+                    "nsdr": round(m["NSDR"], 2)})
+        if write_wavs:
+            wavio.write_wav(os.path.join(work, f"{song}_vocal_est.wav"),
+                            est, sr)
+    return out
+
+
 def main():
     import dataclasses
 
@@ -82,18 +133,9 @@ def main():
         cfg = dataclasses.replace(cfg, compute_dtype=sys.argv[3])
     if len(sys.argv) > 4 and sys.argv[4] == "remat":
         cfg = dataclasses.replace(cfg, remat=True)
-    sr = cfg.sample_rate
     os.makedirs(work, exist_ok=True)
 
-    splits = {"train": (6, 30.0, 1, (392.0, 440.0, 494.0, 523.0, 587.0, 659.0)),
-              "valid": (2, 20.0, 2, (415.0, 554.0)),
-              "test": (2, 20.0, 3, (466.0, 622.0))}
-    for name, (n, secs, seed, pitches) in splits.items():
-        make_split(os.path.join(work, "songs", name), n, sr, secs, seed,
-                   pitches)
-        prep.to_spec(os.path.join(work, "songs", name),
-                     os.path.join(work, "spec", name),
-                     win_size=cfg.window_size, hop_size=cfg.hop_size, sr=sr)
+    prep_splits(work, cfg)
     print("prep done", flush=True)
 
     # fit() appends to the label's log; a reused workdir would prepend a
@@ -117,14 +159,8 @@ def main():
           f"({steps / train_wall:.1f} steps/s incl. host pipeline)", flush=True)
 
     # loss trajectory from the reference-contract text log
-    log = os.path.join(work, "LOG", "log_demo.txt")
-    train_losses, val_losses = [], []
-    with open(log) as f:
-        for line in f:
-            if line.startswith("Val"):
-                val_losses.append(float(line.split()[1]))
-            elif line.strip():
-                train_losses.append(float(line.strip()))
+    train_losses, val_losses = parse_log(os.path.join(work, "LOG",
+                                                      "log_demo.txt"))
 
     results = {"epochs": epochs, "steps": steps,
                "compute_dtype": cfg.compute_dtype, "remat": cfg.remat,
@@ -135,21 +171,9 @@ def main():
                "val_best": min(val_losses) if val_losses else None,
                "per_song": []}
 
-    test_dir = os.path.join(work, "songs", "test")
-    for song in sorted(os.listdir(test_dir)):
-        mix, _ = wavio.load_audio(os.path.join(test_dir, song, "mixture.wav"),
-                                  sr=sr)
-        ref, _ = wavio.load_audio(os.path.join(test_dir, song, "vocals.wav"),
-                                  sr=sr)
-        est = separate.separate_wav(state.params, state.bn_state, mix, cfg=cfg)
-        m = bss.compute_metrics_for_track(mix, ref, est)
-        results["per_song"].append(
-            {"song": song, "sdr": round(m["SDR"], 2),
-             "sir": round(m["SIR"], 2), "sar": round(m["SAR"], 2),
-             "nsdr": round(m["NSDR"], 2)})
-        wavio.write_wav(os.path.join(work, f"{song}_vocal_est.wav"),
-                        est, sr)
-        print(song, results["per_song"][-1], flush=True)
+    results["per_song"] = eval_test_sdr(state, work, cfg, write_wavs=True)
+    for row in results["per_song"]:
+        print(row["song"], row, flush=True)
 
     out = os.path.join(work, "summary.json")
     with open(out, "w") as f:

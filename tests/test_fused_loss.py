@@ -108,10 +108,12 @@ def test_wide_partials_match_chunked(rng, n_fft, hop, win):
     np.testing.assert_allclose(a, b, rtol=2e-4)
 
 
-def test_wide_grad_matches_chunked(rng):
+@pytest.mark.parametrize("n_fft,hop,win", RESOLUTIONS)
+def test_wide_grad_matches_chunked(rng, n_fft, hop, win):
     """Both kernel shapes feed the identical XLA fold, so waveform
-    cotangents agree to bf16-rounding tolerance."""
-    n_fft, hop, win = 512, 50, 240  # the heaviest-padded geometry (50->128)
+    cotangents agree to bf16-rounding tolerance.  All three resolutions:
+    512/50 is the heaviest-padded geometry (hp 50->128), 2048/240 is the
+    only one where wide halves tb (64) and pads hop to 256."""
     x = jnp.asarray((rng.standard_normal((1, 9000)) * 0.3
                      ).astype(np.float32))
     y = jnp.asarray((rng.standard_normal((1, 9000)) * 0.3
