@@ -68,7 +68,8 @@ def test_target_gets_zero_cotangent(rng):
     assert (np.asarray(gy) == 0).all()
 
 
-def test_weighted_drops_rows_exactly(rng):
+@pytest.mark.parametrize("impl", ["pallas_fused", "pallas_fused_wide"])
+def test_weighted_drops_rows_exactly(rng, impl):
     """weight [1, 0] equals the single-row batch — zero-weight padding drops
     out of all three partial sums."""
     x = jnp.asarray((rng.standard_normal((2, 16000)) * 0.3
@@ -76,10 +77,10 @@ def test_weighted_drops_rows_exactly(rng):
     y = jnp.asarray((rng.standard_normal((2, 16000)) * 0.3
                      ).astype(np.float32))
     w = jnp.asarray([1.0, 0.0])
-    a = float(mrstft.stft_loss(x, y, 1024, 120, 600, impl="pallas_fused",
+    a = float(mrstft.stft_loss(x, y, 1024, 120, 600, impl=impl,
                                weight=w))
     b = float(mrstft.stft_loss(x[:1], y[:1], 1024, 120, 600,
-                               impl="pallas_fused"))
+                               impl=impl))
     np.testing.assert_allclose(a, b, rtol=1e-6)
 
 
