@@ -206,8 +206,10 @@ def stalled_service(monkeypatch):
     from svs_tpu.serve import server as server_mod
 
     release = threading.Event()
+    entered = threading.Event()  # the worker is INSIDE the device call
 
     def stalled_stream(*a, **kw):
+        entered.set()
         release.wait(timeout=60)
         songs = a[2]
         return [np.zeros_like(y) for y in songs]
@@ -217,7 +219,7 @@ def stalled_service(monkeypatch):
     params, bn_state = unet.init(jax.random.key(0))
     service = server_mod.SeparationService(
         params, bn_state, SVSConfig(), max_queue=2, request_timeout=0.3)
-    yield service, release
+    yield service, release, entered
     release.set()
     service.shutdown()
 
@@ -228,7 +230,7 @@ def test_overload_fast_fails_not_oom(stalled_service, rng):
     raises ServiceOverloaded IMMEDIATELY (no unbounded growth, no hang)."""
     from svs_tpu.serve.server import ServiceOverloaded
 
-    service, release = stalled_service
+    service, release, entered = stalled_service
     y = (rng.standard_normal(2048) * 0.1).astype(np.float32)
 
     def occupy():
@@ -237,14 +239,18 @@ def test_overload_fast_fails_not_oom(stalled_service, rng):
         except Exception:
             pass  # these time out by design (worker wedged)
 
-    occupiers = [threading.Thread(target=occupy)
-                 for _ in range(3)]  # 1 in the worker + 2 queued (= max_queue)
-    for t in occupiers:
+    # The worker coalesces everything pending into ONE batch, so "1 in the
+    # worker + 2 queued" is only deterministic if the first request is
+    # provably inside the device call before the other two enqueue.
+    first = threading.Thread(target=occupy)
+    first.start()
+    assert entered.wait(timeout=30)  # worker wedged with exactly request #1
+    occupiers = [first] + [threading.Thread(target=occupy) for _ in range(2)]
+    for t in occupiers[1:]:
         t.start()
-    # wait until the worker has picked up the first request and the queue
-    # holds the other two (timed-out entries stay queued until drained)
+    # the worker is blocked, so the two new requests stay queued (= max_queue)
     import time
-    for _ in range(200):
+    for _ in range(500):
         if service.pending() == 2:
             break
         time.sleep(0.02)
@@ -265,7 +271,7 @@ def test_request_timeout_releases_handler(stalled_service, rng):
     blocking the caller forever."""
     from svs_tpu.serve.server import ServiceTimeout
 
-    service, release = stalled_service
+    service, release, _entered = stalled_service
     y = (rng.standard_normal(2048) * 0.1).astype(np.float32)
     import time
     t0 = time.perf_counter()
@@ -283,8 +289,10 @@ def test_http_overload_503_with_retry_after(monkeypatch, rng):
     from svs_tpu.serve import server as server_mod
 
     release = threading.Event()
+    entered = threading.Event()
 
     def stalled_stream(*a, **kw):
+        entered.set()
         release.wait(timeout=60)
         return [np.zeros_like(y) for y in a[2]]
 
@@ -312,10 +320,15 @@ def test_http_overload_503_with_retry_after(monkeypatch, rng):
             except urllib.error.HTTPError as e:
                 codes.append((i, e.code, e.headers.get("Retry-After")))
 
-        # enough posts to fill worker + queue(1) + overflow
+        # enough posts to fill worker + queue(1) + overflow; pin post #0
+        # inside the wedged device call before the rest arrive (the worker
+        # would otherwise coalesce several posts into one batch and the
+        # queue might never overflow)
         import time
         threads = [threading.Thread(target=post, args=(i,)) for i in range(4)]
-        for th in threads:
+        threads[0].start()
+        assert entered.wait(timeout=30)
+        for th in threads[1:]:
             th.start()
             time.sleep(0.1)  # deterministic arrival order
         for th in threads:
@@ -343,14 +356,20 @@ def test_shutdown_with_full_queue_does_not_block(stalled_service, rng):
     round-3 review fix."""
     import time
 
-    service, release = stalled_service
+    service, release, entered = stalled_service
     y = (rng.standard_normal(2048) * 0.1).astype(np.float32)
 
-    occupiers = [threading.Thread(target=lambda: _swallow(service, y))
-                 for _ in range(3)]  # 1 in the worker + 2 queued (= max_queue)
-    for t in occupiers:
+    # as in test_overload_fast_fails_not_oom: pin request #1 inside the
+    # wedged device call first, else the coalescing drain may take two
+    # requests in one batch and the queue never fills
+    first = threading.Thread(target=lambda: _swallow(service, y))
+    first.start()
+    assert entered.wait(timeout=30)
+    occupiers = [first] + [threading.Thread(target=lambda: _swallow(service, y))
+                           for _ in range(2)]
+    for t in occupiers[1:]:
         t.start()
-    for _ in range(200):
+    for _ in range(500):
         if service.pending() == 2:
             break
         time.sleep(0.02)
