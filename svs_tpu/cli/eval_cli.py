@@ -74,8 +74,19 @@ def main(argv=None) -> int:
         jobs.append((basename, (pred_path, mix_path, ref_path)))
 
     if args.jobs > 1:
+        import multiprocessing
+        import sys
         from concurrent.futures import ProcessPoolExecutor
-        with ProcessPoolExecutor(max_workers=args.jobs) as pool:
+
+        # This CLI is jax-free, so the standalone path forks (cheap, and
+        # immune to spawn's re-import-__main__ requirement).  But main()
+        # may be called from a process that already imported jax (tests,
+        # embedders): forking a multithreaded process can deadlock the
+        # children, so switch to spawn there.
+        method = "spawn" if "jax" in sys.modules else "fork"
+        with ProcessPoolExecutor(
+                max_workers=args.jobs,
+                mp_context=multiprocessing.get_context(method)) as pool:
             futures = [(b, pool.submit(_eval_track, p)) for b, p in jobs]
             results = []
             for b, f in futures:
