@@ -75,18 +75,23 @@ def main(argv=None) -> int:
 
     if args.jobs > 1:
         import multiprocessing
-        import sys
         from concurrent.futures import ProcessPoolExecutor
 
-        # This CLI is jax-free, so the standalone path forks (cheap, and
-        # immune to spawn's re-import-__main__ requirement).  But main()
-        # may be called from a process that already imported jax (tests,
-        # embedders): forking a multithreaded process can deadlock the
-        # children, so switch to spawn there.
-        method = "spawn" if "jax" in sys.modules else "fork"
-        with ProcessPoolExecutor(
-                max_workers=args.jobs,
-                mp_context=multiprocessing.get_context(method)) as pool:
+        # Forking a parent that already has OS threads (a jax/torch-warm
+        # test or embedder) can deadlock the children, while spawn is slow
+        # (each worker re-runs interpreter startup) and requires an
+        # importable __main__.  The standalone CLI is measured
+        # single-threaded even though the package import pulls jax in, so
+        # pick by the REAL hazard — the parent's OS thread count (the
+        # process-global start method may have been fixed implicitly by
+        # unrelated multiprocessing use, so it is not consulted).
+        try:  # Linux: count OS threads (C threads included)
+            single = len(os.listdir("/proc/self/task")) == 1
+        except OSError:  # no /proc: take the platform-safe default
+            single = False
+        ctx = multiprocessing.get_context("fork" if single else "spawn")
+        with ProcessPoolExecutor(max_workers=args.jobs,
+                                 mp_context=ctx) as pool:
             futures = [(b, pool.submit(_eval_track, p)) for b, p in jobs]
             results = []
             for b, f in futures:
