@@ -90,6 +90,33 @@ def phase_bench_snapshot():
     emit("bench_snapshot", run_bench())
 
 
+def phase_bss_jax(secs=60):
+    """Device BSS eval vs the host numpy path on one synthetic track
+    (evaluation/bss_jax.py — f32 on TPU, per-track fallback)."""
+    import numpy as np
+
+    from svs_tpu.evaluation import bss, bss_jax
+
+    rng = np.random.default_rng(1)
+    t = np.arange(secs * 8192) / 8192.0
+    bed = np.sin(2 * np.pi * 220 * t) + 0.5 * np.sin(2 * np.pi * 440 * t)
+    v = 0.7 * bed + 0.3 * rng.standard_normal(t.size)
+    a = 0.6 * bed + 0.4 * rng.standard_normal(t.size)
+    mix, est = v + a, v + 0.2 * a + 0.05 * rng.standard_normal(t.size)
+
+    t0 = time.perf_counter()
+    m_np = bss.compute_metrics_for_track(mix, v, est)
+    t_np = time.perf_counter() - t0
+    bss_jax.compute_metrics_for_track(mix, v, est)  # compile
+    t0 = time.perf_counter()
+    m_jx = bss_jax.compute_metrics_for_track(mix, v, est)
+    t_jx = time.perf_counter() - t0
+    emit("bss_jax_60s", {
+        "numpy_s": round(t_np, 3), "jax_s": round(t_jx, 3),
+        "max_abs_diff_db": max(abs(m_np[k] - m_jx[k]) for k in m_np),
+    })
+
+
 def _bounded_devices(timeout_s=120.0):
     """Probe jax.devices() under a watchdog: on this rig a wedged tunnel
     makes it block indefinitely (CLAUDE.md), and this script's whole point
@@ -124,6 +151,7 @@ def main():
     print(f"devices: {_bounded_devices()}", flush=True)
     for name, fn in [("fused_loss", phase_fused_loss),
                      ("accum_ab", lambda: phase_accum_ab(work)),
+                     ("bss_jax", phase_bss_jax),
                      ("bench", phase_bench_snapshot)]:
         t0 = time.perf_counter()
         print(f"== phase {name}", flush=True)

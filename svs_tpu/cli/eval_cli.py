@@ -27,14 +27,25 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--jobs", type=int, default=1,
                    help="parallel worker processes (BSS eval is CPU-bound "
                         "per track; the reference evaluates serially)")
+    p.add_argument("--impl", type=str, default="numpy",
+                   choices=("numpy", "jax"),
+                   help="BSS eval backend: 'numpy' (host f64, reference "
+                        "parity) or 'jax' (jitted; f64 on CPU, f32 on TPU "
+                        "with per-track numpy fallback — see "
+                        "evaluation/bss_jax.py).  'jax' does the work on "
+                        "the default device, so prefer --jobs 1 with it")
     return p
 
 
-def _eval_track(paths):
+def _eval_track(paths, impl="numpy"):
     """Worker: one track's metrics (importable for process pools)."""
     pred_path, mix_path, ref_path = paths
     from svs_tpu.data import wav as wavio
-    from svs_tpu.evaluation import bss
+
+    if impl == "jax":
+        from svs_tpu.evaluation import bss_jax as bss
+    else:
+        from svs_tpu.evaluation import bss
 
     mix, sr_mix = wavio.load_audio(mix_path, sr=None, mono=True)
     ref, sr_ref = wavio.load_audio(ref_path, sr=None, mono=True)
@@ -92,7 +103,8 @@ def main(argv=None) -> int:
         ctx = multiprocessing.get_context("fork" if single else "spawn")
         with ProcessPoolExecutor(max_workers=args.jobs,
                                  mp_context=ctx) as pool:
-            futures = [(b, pool.submit(_eval_track, p)) for b, p in jobs]
+            futures = [(b, pool.submit(_eval_track, p, args.impl))
+                       for b, p in jobs]
             results = []
             for b, f in futures:
                 try:
@@ -103,7 +115,7 @@ def main(argv=None) -> int:
         results = []
         for b, p in jobs:
             try:
-                results.append((b, _eval_track(p)))
+                results.append((b, _eval_track(p, args.impl)))
             except Exception as e:
                 print(f"[Error] Failed on {b}: {e}")
 

@@ -158,3 +158,23 @@ def test_eval_cli_parallel_jobs(pipeline_dir, tmp_path):
     assert eval_cli.main(["--est", wav_out, "--mix", gt_mix, "--ref", gt_voc,
                           "--out_csv", c2, "--jobs", "2"]) == 0
     assert open(c1).read() == open(c2).read()
+
+
+def test_eval_cli_jax_impl(pipeline_dir, tmp_path):
+    """--impl jax agrees with the numpy backend (f64 on the CPU platform)."""
+    import csv
+
+    root, src, spec = pipeline_dir
+    wav_out = str(root / "wav_out")
+    gt_voc, gt_mix = str(root / "gt_vocal"), str(root / "gt_mix")
+    c1, c2 = str(tmp_path / "np.csv"), str(tmp_path / "jx.csv")
+    assert eval_cli.main(["--est", wav_out, "--mix", gt_mix, "--ref", gt_voc,
+                          "--out_csv", c1]) == 0
+    assert eval_cli.main(["--est", wav_out, "--mix", gt_mix, "--ref", gt_voc,
+                          "--out_csv", c2, "--impl", "jax"]) == 0
+    rows1 = list(csv.DictReader(open(c1)))
+    rows2 = list(csv.DictReader(open(c2)))
+    assert [r["track"] for r in rows1] == [r["track"] for r in rows2]
+    for r1, r2 in zip(rows1, rows2):
+        for k in ("SDR", "SIR", "SAR", "NSDR"):
+            assert abs(float(r1[k]) - float(r2[k])) < 1e-8
