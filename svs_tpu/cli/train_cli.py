@@ -81,6 +81,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "('auto' gates on --device_data_cap_mb, per device "
                         "on multi-host)")
     p.add_argument("--device_data_cap_mb", type=float, default=2048.0)
+    p.add_argument("--val_sdr", action="store_true",
+                   help="score vocal SDR/NSDR over the validation songs at "
+                        "every validation pass (the reference's headline "
+                        "metric, evaluate.py:203-239, tracked during "
+                        "training); observability only — best-checkpoint "
+                        "selection stays loss-based")
+    p.add_argument("--val_sdr_songs", type=int, default=None, metavar="N",
+                   help="cap the songs scored per --val_sdr pass")
     p.add_argument("--epoch_scan", action="store_true",
                    help="run each epoch as ONE jitted lax.scan over the "
                         "HBM-resident crops (one dispatch + one loss fetch "
@@ -160,6 +168,8 @@ def main(argv=None) -> int:
         zero1=args.zero1,
         fsdp=args.fsdp,
         accum_steps=args.accum,
+        val_sdr=args.val_sdr,
+        val_sdr_songs=args.val_sdr_songs,
     )
     fit(opts, cfg)
     return 0

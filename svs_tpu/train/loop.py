@@ -101,6 +101,14 @@ class TrainOptions:
     # = batch_size * accum_steps at batch_size HBM cost.  Changes the
     # checkpoint opt-state layout: resume with the same value.
     accum_steps: int = 1
+    # score vocal SDR/NSDR over the validation songs at every validation
+    # pass (evaluation/val_sdr.py): the reference's headline metric
+    # (evaluate.py:203-239) tracked DURING training instead of a separate
+    # offline to_wave -> evaluate chain.  Observability only — the
+    # best-checkpoint decision stays loss-based (train.py:353-355 parity).
+    # Single-process runs only (whole-song decode on host-gathered params).
+    val_sdr: bool = False
+    val_sdr_songs: Optional[int] = None  # cap songs scored per pass
 
 
 def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
@@ -130,6 +138,9 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
     # lockstep regardless of how the songs split.
     pc = jax.process_count()
     is_primary = jax.process_index() == 0
+    if opts.val_sdr and pc > 1:
+        raise ValueError("val_sdr requires a single-process run: whole-song "
+                         "decode gathers the full params on the host")
     local_bs = opts.batch_size
     train_steps = None
     if pc > 1:
@@ -544,6 +555,28 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
                         if opts.export_pth:
                             export_ckpt(best_weight[:-5] + ".pth", state,
                                         epoch=ep + 1)
+                val_record = {"epoch": ep + 1, "val_loss": avg_val_loss}
+                if opts.val_sdr:
+                    # runs AFTER the best-ckpt decision so separation scoring
+                    # can never perturb the loss-based contract; per-song
+                    # failures are caught inside validation_sdr
+                    from svs_tpu.evaluation.val_sdr import validation_sdr
+                    sdr = validation_sdr(
+                        jax.device_get(state.params),
+                        jax.device_get(state.bn_state),
+                        opts.valid_folder, cfg,
+                        max_songs=opts.val_sdr_songs)
+                    for k in ("SDR", "SIR", "SAR", "NSDR"):
+                        val_record[f"vocal_{k.lower()}"] = sdr[k]
+                    val_record["sdr_songs"] = len(sdr["per_song"])
+                    if is_primary and sdr["SDR"] is not None:
+                        print(f"[Epoch {ep+1}] Val vocal SDR "
+                              f"{sdr['SDR']:.3f} dB | NSDR "
+                              f"{sdr['NSDR']:.3f} dB "
+                              f"({len(sdr['per_song'])} songs)")
+                if is_primary:
+                    with open(metrics_file, "a") as f:
+                        f.write(json.dumps(val_record) + "\n")
                 _flush_log()
             elif is_primary:
                 print(f"Epoch {ep+1} Avg Loss: {avg_train_loss:.4e}")

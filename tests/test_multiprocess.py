@@ -155,11 +155,14 @@ def test_two_process_fit_lockstep(tmp_path):
     assert os.path.exists(str(tmp_path / "CKPT" / "svs_mp.ckpt"))
     metrics = [json.loads(l) for l in
                open(str(tmp_path / "LOG" / "metrics_mp.jsonl"))]
-    assert len(metrics) == 2  # one per epoch, not doubled
-    assert all(np.isfinite(m["train_loss"]) for m in metrics)
+    train_recs = [m for m in metrics if "train_loss" in m]
+    assert len(train_recs) == 2  # one per epoch, not doubled
+    assert all(np.isfinite(m["train_loss"]) for m in train_recs)
     # global batch = 2 hosts * ceil(4/2)=2 local -> 4; global len = 3*2=6
     # -> ceil(6/4)=2 steps/epoch on every host
-    assert all(m["steps"] == 2 for m in metrics)
+    assert all(m["steps"] == 2 for m in train_recs)
+    # val records written once per validation by the primary only
+    assert sum(1 for m in metrics if "val_loss" in m) == 2
     log = open(str(tmp_path / "LOG" / "log_mp.txt")).read().splitlines()
     assert sum(1 for l in log if l.startswith("Val ")) == 2
 

@@ -1,5 +1,6 @@
 """Train step / checkpoint / loop tests (BASELINE.json config #4)."""
 
+import json
 import os
 
 import numpy as np
@@ -142,8 +143,11 @@ def test_fit_end_to_end(tmp_path):
 
     assert os.path.exists(os.path.join(opts.ckpt_dir, "svs_t.ckpt"))
     assert os.path.exists(os.path.join(opts.ckpt_dir, "svs_best_t.ckpt"))
-    metrics = open(os.path.join(opts.log_dir, "metrics_t.jsonl")).read()
-    assert metrics.count("\n") == 2
+    metrics = [json.loads(l) for l in
+               open(os.path.join(opts.log_dir, "metrics_t.jsonl"))]
+    # one train record per epoch + one val record per validation pass
+    assert sum(1 for m in metrics if "train_loss" in m) == 2
+    assert sum(1 for m in metrics if "val_loss" in m) == 2
 
     # resume continues from the saved epoch without retraining epoch 1
     opts2 = TrainOptions(**{**opts.__dict__,
@@ -152,6 +156,52 @@ def test_fit_end_to_end(tmp_path):
                             "epoch": 3})
     state2 = fit(opts2, cfg)
     assert int(state2.step) == 3  # one more epoch only
+
+
+def test_fit_val_sdr(tmp_path):
+    """--val_sdr: every validation pass also scores vocal SDR/NSDR over the
+    validation songs (reference evaluate.py:203-239 metric, tracked during
+    training); values land in the metrics JSONL, best-ckpt stays loss-based."""
+    train_dir = str(tmp_path / "train")
+    valid_dir = str(tmp_path / "valid")
+    _make_spec_dataset(train_dir, seed=0)
+    _make_spec_dataset(valid_dir, n_songs=2, seed=1)
+    cfg = SVSConfig(samples_per_song=1)
+    opts = TrainOptions(
+        train_folder=train_dir, valid_folder=valid_dir, label="sdr",
+        epoch=1, batch_size=2, val_interval=1,
+        ckpt_dir=str(tmp_path / "CKPT"), log_dir=str(tmp_path / "LOG"),
+        load_path=str(tmp_path / "none.ckpt"), progress=False,
+        val_sdr=True, val_sdr_songs=1,
+    )
+    fit(opts, cfg)
+    metrics = [json.loads(l) for l in
+               open(os.path.join(opts.log_dir, "metrics_sdr.jsonl"))]
+    val = [m for m in metrics if "val_loss" in m]
+    assert len(val) == 1
+    assert val[0]["sdr_songs"] == 1  # the --val_sdr_songs cap held
+    for k in ("vocal_sdr", "vocal_sir", "vocal_sar", "vocal_nsdr"):
+        assert np.isfinite(val[0][k])
+
+
+def test_validation_sdr_skips_silent_vocal(tmp_path):
+    """Per-song resilience: an all-silent vocal (BSS eval undefined, like
+    mir_eval) is skipped and reported, not fatal."""
+    from svs_tpu.evaluation.val_sdr import validation_sdr
+    from svs_tpu.train.step import create_train_state
+
+    root = str(tmp_path / "valid")
+    _make_spec_dataset(root, n_songs=2, seed=3)
+    # silence song 0's vocal
+    silent = os.path.join(root, "vocal", "0000_s0_spec.npy")
+    np.save(silent, np.zeros_like(np.load(silent)))
+    cfg = SVSConfig()
+    state = create_train_state(jax.random.key(0), cfg)
+    out = validation_sdr(jax.device_get(state.params),
+                         jax.device_get(state.bn_state), root, cfg)
+    assert len(out["per_song"]) == 1 and out["per_song"][0]["song"] == "0001_s1"
+    assert len(out["skipped"]) == 1 and out["skipped"][0].startswith("0000_s0")
+    assert np.isfinite(out["SDR"])
 
 
 def test_fit_with_mesh_dp(tmp_path):
