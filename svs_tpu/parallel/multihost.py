@@ -230,3 +230,26 @@ def sync_resume(state, start_epoch: int, extras: Dict[str, Any],
     extras = dict(extras, best_val_loss=float(header[1]),
                   loss_list_total=[float(x) for x in hist_arr])
     return state, int(header[0]), extras
+
+
+def gather_state(state: Any, mesh: Mesh) -> Any:
+    """Host-replicated numpy copy of a (possibly cross-host partitioned)
+    train state — the save-side companion of the ZeRO/FSDP layouts
+    (``parallel/zero.py``), where opt-state/params shards live on devices
+    this process cannot address.
+
+    One jitted identity re-shards every leaf to fully-replicated (XLA
+    derives the all-gathers, riding ICI/DCN as the mesh dictates), then each
+    host copies its local full replica.  COLLECTIVE: every process must call
+    it at the same program point; the training loop does so right before
+    each primary-gated checkpoint write (the save sites are reached in
+    lockstep — epoch counts, ``saved_latest`` and the best-val decision are
+    identical on every host, and preemption stops are coordinated).
+
+    Single-process (or already-replicated) states pass through the same
+    path unchanged semantically — it is still a correct gather.
+    """
+    rep = NamedSharding(mesh, P())
+    out_sh = jax.tree.map(lambda _: rep, state)
+    gathered = jax.jit(lambda s: s, out_shardings=out_sh)(state)
+    return jax.tree.map(lambda x: np.asarray(x.addressable_data(0)), gathered)

@@ -28,12 +28,14 @@ like TP these exist for scaled-up variants and to make the memory-scaling
 mechanisms first-class.  Semantics are identical to plain DP — pinned
 against the single-device step in tests/test_zero.py.
 
-Single-process meshes only (``fit`` raises for multi-host): the
-checkpoint/preemption paths snapshot state with ``np.asarray``, which
-requires host-addressable arrays — a multi-host ZeRO layout would need a
-``process_allgather`` on every save and a broadcast-then-shard resume.
-Multi-host jobs run plain DP, where state is replicated and each host
-snapshots locally.
+Multi-host meshes work too: the input side is the same global-batch
+distributor as plain DP (the batch sharding is identical), resume stays
+broadcast-then-shard for free (``fit`` loads + ``multihost.sync_resume``s
+the HOST state before :func:`shard_state` places it), and the
+checkpoint/preemption saves — which need host-addressable values —
+go through ``multihost.gather_state``: one collective jitted all-gather
+to a fully-replicated layout on every host, then a primary-only write
+(tests/test_multiprocess.py::test_two_process_fsdp_fit_matches_dp).
 """
 
 from __future__ import annotations

@@ -94,7 +94,8 @@ class TrainOptions:
     zero1: bool = False
     # fully sharded variant (ZeRO-3/FSDP analogue): params and BN state
     # shard across the data axis too; XLA gathers kernels on use.
-    # Implies the zero1 machinery; single-process meshes only.
+    # Implies the zero1 machinery.  Multi-host runs gather the partitioned
+    # state collectively before every checkpoint write (multihost.gather_state).
     fsdp: bool = False
     # gradient accumulation (optax.MultiSteps): params update once every
     # accum_steps microbatches with their mean gradient — effective batch
@@ -277,11 +278,11 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
         from svs_tpu.parallel import dp, mesh as mesh_lib, multihost
         if opts.zero1 or opts.fsdp:
             # ZeRO-1 / FSDP: same DP program, state sharded over the data
-            # axis (parallel/zero.py).  Single-process meshes only — the
-            # multi-host distributors assume a replicated state layout.
-            if pc > 1:
-                raise ValueError("zero1/fsdp support single-process "
-                                 "meshes; multi-host jobs run plain DP")
+            # axis (parallel/zero.py).  Works multi-host too: batches arrive
+            # through the same global distributors as plain DP, and every
+            # checkpoint write goes through a collective gather_state first
+            # (see snap_state below) because partitioned leaves are not
+            # host-addressable.
             from svs_tpu.parallel import zero
             train_step = zero.make_zero1_train_step(opts.mesh, cfg,
                                                     optimizer,
@@ -332,6 +333,20 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
                     opts.mesh, b, pad_rows_to=opts.batch_size)
     else:
         train_step = make_train_step(cfg, optimizer)
+
+    # checkpoint snapshot function: identity everywhere EXCEPT multi-host
+    # ZeRO/FSDP, whose state leaves are partitioned across hosts — there
+    # every save goes through a collective all-gather to host numpy first
+    # (multihost.gather_state).  Called on EVERY host right before each
+    # primary-gated write; all save sites are reached in lockstep (epoch
+    # counts, saved_latest and the best-val decision are identical across
+    # hosts, and preemption stops are coordinated), so the collective
+    # cannot skew.
+    if pc > 1 and (opts.zero1 or opts.fsdp):
+        from svs_tpu.parallel import multihost
+        snap_state = lambda s: multihost.gather_state(s, opts.mesh)  # noqa: E731
+    else:
+        snap_state = lambda s: s  # noqa: E731
 
     epoch_fn = None
     if opts.epoch_scan:
@@ -416,13 +431,17 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
             return stop_requested
 
     def _preempt_exit(epoch_to_save: int, already_saved: bool = False):
-        if not already_saved and is_primary:
+        if not already_saved:
             # resume re-runs the interrupted epoch, so drop any
-            # half-filled accumulation cycle (step.reset_accumulation)
-            save_ckpt(ckpt_weight, reset_accumulation(state),
-                      epoch=epoch_to_save,
-                      extras={"loss_list_total": loss_history,
-                              "best_val_loss": best_val_loss})
+            # half-filled accumulation cycle (step.reset_accumulation).
+            # snap_state runs on EVERY host (collective under multi-host
+            # ZeRO/FSDP; stops are coordinated so hosts arrive together),
+            # then the primary alone writes.
+            snap = snap_state(reset_accumulation(state))
+            if is_primary:
+                save_ckpt(ckpt_weight, snap, epoch=epoch_to_save,
+                          extras={"loss_list_total": loss_history,
+                                  "best_val_loss": best_val_loss})
         # saver drain + log flush happen in the enclosing finally
         raise SystemExit(143)
 
@@ -431,11 +450,12 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
             current_epoch = ep
             if ep == cfg.lr_drop_epoch:  # train.py:251-262
                 state = set_learning_rate(state, cfg.lr_after_drop)
+                snap = snap_state(state)  # every host (collective)
                 if is_primary:
                     save_ckpt(
                         os.path.join(opts.ckpt_dir,
                                      f"svs_{opts.label}_400.ckpt"),
-                        state, epoch=ep + 1)
+                        snap, epoch=ep + 1)
                     print(f"\n[Info] Epoch {ep}: learning rate set to "
                           f"{cfg.lr_after_drop}\n")
 
@@ -547,13 +567,16 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
                           f"{avg_train_loss:.4e} | "
                           f"Val Loss: {avg_val_loss:.4e}")
                 if avg_val_loss < best_val_loss:
+                    # every host takes this branch (avg_val_loss identity is
+                    # asserted above), so the snapshot collective is safe
                     best_val_loss = avg_val_loss
+                    snap = snap_state(state)
                     if is_primary:
-                        save_ckpt(best_weight, state, epoch=ep + 1,
+                        save_ckpt(best_weight, snap, epoch=ep + 1,
                                   extras={"best_val_loss": best_val_loss,
                                           "loss_list_total": loss_history})
                         if opts.export_pth:
-                            export_ckpt(best_weight[:-5] + ".pth", state,
+                            export_ckpt(best_weight[:-5] + ".pth", snap,
                                         epoch=ep + 1)
                 val_record = {"epoch": ep + 1, "val_loss": avg_val_loss}
                 if opts.val_sdr:
@@ -582,13 +605,15 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
                 print(f"Epoch {ep+1} Avg Loss: {avg_train_loss:.4e}")
 
             saved_latest = (ep + 1) % opts.save_every == 0 or ep + 1 == opts.epoch
-            if saved_latest and is_primary:
-                save_ckpt(ckpt_weight, state, epoch=ep + 1,  # latest
-                          extras={"loss_list_total": loss_history,
-                                  "best_val_loss": best_val_loss})
-                if opts.export_pth:
-                    export_ckpt(ckpt_weight[:-5] + ".pth", state,
-                                epoch=ep + 1)
+            if saved_latest:
+                snap = snap_state(state)  # every host (collective)
+                if is_primary:
+                    save_ckpt(ckpt_weight, snap, epoch=ep + 1,  # latest
+                              extras={"loss_list_total": loss_history,
+                                      "best_val_loss": best_val_loss})
+                    if opts.export_pth:
+                        export_ckpt(ckpt_weight[:-5] + ".pth", snap,
+                                    epoch=ep + 1)
             if _should_stop():
                 # epoch complete: exit without re-writing an identical latest ckpt
                 _preempt_exit(ep + 1, already_saved=saved_latest)

@@ -264,6 +264,129 @@ def test_two_process_device_data_matches_host_pipeline(tmp_path):
         assert "MH_DEVICE_DATA_OK" in out
 
 
+def test_two_process_fsdp_fit_matches_dp(tmp_path):
+    """Multi-host ZeRO-3/FSDP: fit() with params/BN/moments partitioned
+    ACROSS HOSTS (fsdp=True) follows the plain multi-host DP trajectory —
+    the layouts change, the math must not — and the primary's checkpoint
+    holds the FULL gathered state (every write goes through the collective
+    multihost.gather_state, since partitioned leaves are not
+    host-addressable)."""
+    train_dir = str(tmp_path / "train")
+    _make_spec_dataset(train_dir, n_songs=3)
+    script = _PREAMBLE.format(port=_free_port()) + textwrap.dedent("""
+    from svs_tpu.parallel import mesh as mesh_lib, multihost
+    from svs_tpu.train import checkpoint as ckpt_lib
+    from svs_tpu.train.loop import TrainOptions, fit
+    from svs_tpu.train.step import create_train_state, make_optimizer
+    from svs_tpu.utils.config import SVSConfig
+
+    mesh = mesh_lib.make_mesh()
+    train_dir = {train_dir!r}
+    cfg = SVSConfig(samples_per_song=2, input_len=64, dropout_rate=0.0)
+
+    def run(tag, **kw):
+        return fit(TrainOptions(
+            train_folder=train_dir, valid_folder=train_dir,
+            label=tag, epoch=2, batch_size=4, val_interval=1,
+            ckpt_dir=f"CKPT_{{tag}}", log_dir=f"LOG_{{tag}}",
+            load_path="none", progress=False, mesh=mesh, **kw,
+        ), cfg)
+
+    s_dp = run("dp")
+    s_fs = run("fs", fsdp=True)
+
+    # the fsdp state really is cross-host partitioned
+    leaves = jax.tree.leaves(s_fs.params)
+    assert any(not l.is_fully_addressable for l in leaves)
+    assert any(not l.sharding.is_fully_replicated for l in leaves)
+
+    # trajectory parity: gather fsdp, read dp's local replica.  Elementwise
+    # tolerance is loose (measured: ~20/3.3M elements out past 2e-3, max
+    # 3.7e-3) because Adam's rsqrt amplifies reduction-order float noise on
+    # near-zero-gradient params over 4 steps; the tight trajectory pin is
+    # the per-epoch LOSS comparison in the parent test.
+    fs_host = multihost.gather_state(s_fs, mesh)
+    for a, b in zip(jax.tree.leaves(fs_host.params),
+                    jax.tree.leaves(s_dp.params)):
+        np.testing.assert_allclose(a, np.asarray(b.addressable_data(0)),
+                                   atol=8e-3)
+
+    if pid == 0:
+        # the checkpoint the primary wrote holds the full gathered state
+        template = create_train_state(jax.random.key(0), cfg,
+                                      make_optimizer(cfg))
+        loaded, epoch, _ = ckpt_lib.resume("CKPT_fs/svs_fs.ckpt", template)
+        assert epoch == 2
+        for a, b in zip(jax.tree.leaves(fs_host.params),
+                        jax.tree.leaves(loaded.params)):
+            np.testing.assert_array_equal(a, np.asarray(b))
+    print("MH_FSDP_OK")
+    """.format(train_dir=train_dir))
+    outs = _run_pair(script, tmp_path, timeout=900)
+    for out in outs:
+        assert "MH_FSDP_OK" in out
+
+    # per-epoch losses pin the trajectory (the layouts may only introduce
+    # reduction-order float noise; FSDP's grad reduce-scatter vs DP's
+    # all-reduce orders the sums differently, and Adam's rsqrt amplifies it
+    # step over step — measured drift 3.5e-4 rel by epoch 2, vs the 2e-5
+    # PER-STEP pin in test_zero.py; a structural bug — dropped samples,
+    # wrong remainder weighting — would show at 1e-2+)
+    def losses(tag, key):
+        return [json.loads(l)[key] for l in
+                open(str(tmp_path / f"LOG_{tag}" / f"metrics_{tag}.jsonl"))
+                if key in json.loads(l)]
+    for key in ("train_loss", "val_loss"):
+        got, want = losses("fs", key), losses("dp", key)
+        assert len(got) == len(want) == 2
+        np.testing.assert_allclose(got, want, rtol=1e-3)
+
+
+def test_two_process_fsdp_resume_matches_uninterrupted(tmp_path):
+    """Multi-host FSDP broadcast-then-shard resume: a 2-epoch fsdp run
+    checkpointed via the collective gather, then resumed (host-side load +
+    sync_resume, re-partitioned by zero.shard_state) for 2 more epochs,
+    lands EXACTLY where an uninterrupted 4-epoch fsdp run does — gather,
+    msgpack save and re-shard are all value-exact, per-epoch batch seeds
+    are epoch-indexed (loop.py epoch_seed), and dropout is off so the
+    restarted model-rng stream is inert."""
+    train_dir = str(tmp_path / "train")
+    _make_spec_dataset(train_dir, n_songs=3)
+    script = _PREAMBLE.format(port=_free_port()) + textwrap.dedent("""
+    from svs_tpu.parallel import mesh as mesh_lib, multihost
+    from svs_tpu.train.loop import TrainOptions, fit
+    from svs_tpu.utils.config import SVSConfig
+
+    mesh = mesh_lib.make_mesh()
+    train_dir = {train_dir!r}
+    cfg = SVSConfig(samples_per_song=2, input_len=64, dropout_rate=0.0)
+
+    def run(tag, epoch, load_path="none"):
+        return fit(TrainOptions(
+            train_folder=train_dir, valid_folder=train_dir,
+            label=tag, epoch=epoch, batch_size=4, val_interval=2,
+            ckpt_dir=f"CKPT_{{tag}}", log_dir=f"LOG_{{tag}}",
+            load_path=load_path, progress=False, mesh=mesh, fsdp=True,
+        ), cfg)
+
+    s_a = run("a", 2)
+    s_b = run("a2", 4, load_path="CKPT_a/svs_a.ckpt")   # resume +2 epochs
+    s_u = run("u", 4)                                    # uninterrupted
+
+    assert int(s_b.step) == int(s_u.step)
+    b_host = multihost.gather_state(s_b, mesh)
+    u_host = multihost.gather_state(s_u, mesh)
+    for a, b in zip(jax.tree.leaves(b_host.params),
+                    jax.tree.leaves(u_host.params)):
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-6)
+    print("MH_FSDP_RESUME_OK")
+    """.format(train_dir=train_dir))
+    outs = _run_pair(script, tmp_path, timeout=900)
+    for out in outs:
+        assert "MH_FSDP_RESUME_OK" in out
+        assert "Loaded checkpoint" in out  # both hosts resumed, not restarted
+
+
 def test_two_process_kill_one_lockstep_exit(tmp_path):
     """SIGTERM delivered to ONE host only: the coordinated stop flag
     (multihost.any_flag at every step boundary) makes BOTH hosts save and
