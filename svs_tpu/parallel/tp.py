@@ -26,6 +26,15 @@ shards on ``data``, channels on ``model``; BN batch statistics still reduce
 over the global batch (sync-BN) because the mean/var reductions cross the
 sharded batch axis inside one jit program.
 
+Multi-host meshes work when the ``model`` axis stays within each host (so
+TP's per-layer activation movement rides ICI while only the once-per-step
+gradient reduction crosses DCN) — :func:`make_2d_mesh`'s process-major
+device order gives that layout, ``fit`` checks it loudly, batches arrive
+through the same global distributors as multi-host DP, and checkpoint
+writes gather collectively first (``multihost.gather_state``; TP state is
+data-replicated but lives as global arrays over all hosts' devices).
+Proven 2-process in tests/test_multiprocess.py::test_two_process_tp_fit_matches_dp.
+
 When to use: at the reference's 9.6M-param scale pure DP dominates (params
 fit HBM thousands of times over); TP exists for scaled-up variants — wider
 channel multipliers or long fine_tune patches where per-chip activation

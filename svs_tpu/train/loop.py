@@ -86,11 +86,12 @@ class TrainOptions:
     # input_len % (64 * mesh size) == 0 — parallel/halo.py), "tp" shards
     # conv CHANNELS on the mesh's "model" axis (tensor parallelism,
     # parallel/tp.py; pass a tp.make_2d_mesh — composes with DP via its
-    # "data" axis)
+    # "data" axis; multi-host meshes work when the model axis stays within
+    # each host — checked loudly)
     parallel: str = "dp"
-    # with parallel="dp" on a single-process mesh: shard the optimizer
-    # state (Adam moments, 2x param bytes) across the data axis — ZeRO
-    # stage 1, parallel/zero.py.  Same step semantics, different layout.
+    # with parallel="dp": shard the optimizer state (Adam moments, 2x param
+    # bytes) across the data axis — ZeRO stage 1, parallel/zero.py.  Same
+    # step semantics, different layout; multi-host like fsdp below.
     zero1: bool = False
     # fully sharded variant (ZeRO-3/FSDP analogue): params and BN state
     # shard across the data axis too; XLA gathers kernels on use.
@@ -258,22 +259,50 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
     elif opts.mesh is not None and opts.parallel == "tp":
         # tensor (channel) parallelism: conv channels shard on the mesh's
         # "model" axis, the batch on its "data" axis (if any) —
-        # parallel/tp.py.  Single-host only (like cp).  Train data is
-        # device-resident when it fits (gathers land P("data")-sharded,
-        # gated above); host batches fall back to shard_batch below.
+        # parallel/tp.py.  Train data is device-resident when it fits
+        # (gathers land P("data")-sharded, gated above); host batches fall
+        # back to shard_batch / the multi-host distributors below.
+        from svs_tpu.parallel import mesh as mesh_lib, multihost, tp
         if pc > 1:
-            raise ValueError("parallel='tp' supports single-host meshes; "
-                             "use parallel='dp' for multi-host jobs")
-        from svs_tpu.parallel import mesh as mesh_lib, tp
+            # multi-host TP: the model axis must live WITHIN each host —
+            # TP moves activations every layer, so a model axis crossing
+            # DCN would be bandwidth-wrong, and the per-host input
+            # distributor below assumes each process owns whole data-axis
+            # rows.  tp.make_2d_mesh's process-major device order gives
+            # this layout naturally.
+            if "data" not in opts.mesh.axis_names:
+                raise ValueError("multi-host TP needs a (data, model) "
+                                 "mesh with the data axis spanning hosts "
+                                 "(tp.make_2d_mesh)")
+            if int(opts.mesh.local_mesh.shape["model"]) != \
+                    int(opts.mesh.shape["model"]):
+                raise ValueError(
+                    "multi-host TP: the 'model' axis crosses hosts — "
+                    "build the mesh data-major (tp.make_2d_mesh) so TP "
+                    "activations ride ICI, not DCN")
         train_step = tp.make_tp_train_step(opts.mesh, cfg, optimizer)
         state = tp.shard_state(state, opts.mesh)
         if opts.device_put is None:
-            if "data" in opts.mesh.axis_names:
-                put = lambda b: mesh_lib.shard_batch(opts.mesh, b)  # noqa: E731
-            # eval: params are committed channel-sharded, so the plain eval
-            # program runs under those shardings (compute follows data);
-            # the numpy val batch needs no placement
-            put_val = lambda b: b  # noqa: E731
+            if pc > 1:
+                # same global-batch distributors as multi-host DP: each
+                # host contributes its local rows (padded to its data-axis
+                # quota, zero-weight rows dropping out of loss/BN exactly);
+                # validation iterates the same global sequence on every
+                # host.  P("data") over the 2-D mesh replicates across the
+                # local model axis.
+                lq = multihost.local_quota(opts.mesh)
+                pad_to = -(-local_bs // lq) * lq
+                put = lambda b: multihost.global_batch_from_local(  # noqa: E731
+                    opts.mesh, b, pad_to=pad_to)
+                put_val = lambda b: multihost.global_batch_from_global(  # noqa: E731
+                    opts.mesh, b, pad_rows_to=opts.batch_size)
+            else:
+                if "data" in opts.mesh.axis_names:
+                    put = lambda b: mesh_lib.shard_batch(opts.mesh, b)  # noqa: E731
+                # eval: params are committed channel-sharded, so the plain
+                # eval program runs under those shardings (compute follows
+                # data); the numpy val batch needs no placement
+                put_val = lambda b: b  # noqa: E731
     elif opts.mesh is not None:
         from svs_tpu.parallel import dp, mesh as mesh_lib, multihost
         if opts.zero1 or opts.fsdp:
@@ -335,14 +364,16 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
         train_step = make_train_step(cfg, optimizer)
 
     # checkpoint snapshot function: identity everywhere EXCEPT multi-host
-    # ZeRO/FSDP, whose state leaves are partitioned across hosts — there
-    # every save goes through a collective all-gather to host numpy first
-    # (multihost.gather_state).  Called on EVERY host right before each
-    # primary-gated write; all save sites are reached in lockstep (epoch
-    # counts, saved_latest and the best-val decision are identical across
-    # hosts, and preemption stops are coordinated), so the collective
-    # cannot skew.
-    if pc > 1 and (opts.zero1 or opts.fsdp):
+    # ZeRO/FSDP/TP, whose state leaves span devices this process cannot
+    # address (ZeRO partitions over the cross-host data axis; TP state is
+    # data-REPLICATED but as a global array over both hosts' devices, which
+    # np.asarray refuses) — there every save goes through a collective
+    # all-gather to host numpy first (multihost.gather_state).  Called on
+    # EVERY host right before each primary-gated write; all save sites are
+    # reached in lockstep (epoch counts, saved_latest and the best-val
+    # decision are identical across hosts, and preemption stops are
+    # coordinated), so the collective cannot skew.
+    if pc > 1 and (opts.zero1 or opts.fsdp or opts.parallel == "tp"):
         from svs_tpu.parallel import multihost
         snap_state = lambda s: multihost.gather_state(s, opts.mesh)  # noqa: E731
     else:

@@ -342,6 +342,74 @@ def test_two_process_fsdp_fit_matches_dp(tmp_path):
         np.testing.assert_allclose(got, want, rtol=1e-3)
 
 
+def test_two_process_tp_fit_matches_dp(tmp_path):
+    """Multi-host tensor parallelism: fit() on a 2-D (data=hosts, model=2)
+    mesh — conv channels sharded WITHIN each host, batch sharded across
+    hosts — follows the plain multi-host DP trajectory, and the primary's
+    checkpoint holds the full state (TP state is data-replicated but lives
+    as global arrays over both hosts' devices, so saves go through the
+    collective multihost.gather_state)."""
+    train_dir = str(tmp_path / "train")
+    _make_spec_dataset(train_dir, n_songs=3)
+    script = _PREAMBLE.format(port=_free_port()) + textwrap.dedent("""
+    from svs_tpu.parallel import mesh as mesh_lib, multihost, tp
+    from svs_tpu.train import checkpoint as ckpt_lib
+    from svs_tpu.train.loop import TrainOptions, fit
+    from svs_tpu.train.step import create_train_state, make_optimizer
+    from svs_tpu.utils.config import SVSConfig
+
+    train_dir = {train_dir!r}
+    cfg = SVSConfig(samples_per_song=2, input_len=64, dropout_rate=0.0)
+
+    def run(tag, mesh, **kw):
+        return fit(TrainOptions(
+            train_folder=train_dir, valid_folder=train_dir,
+            label=tag, epoch=2, batch_size=4, val_interval=1,
+            ckpt_dir=f"CKPT_{{tag}}", log_dir=f"LOG_{{tag}}",
+            load_path="none", progress=False, mesh=mesh, **kw,
+        ), cfg)
+
+    s_dp = run("dp", mesh_lib.make_mesh())
+    mesh2d = tp.make_2d_mesh(2, 2)   # data across hosts, model within
+    s_tp = run("tp", mesh2d, parallel="tp")
+
+    # channels really are sharded on the model axis, cross-host globals
+    leaves = jax.tree.leaves(s_tp.params)
+    assert any(not l.is_fully_addressable for l in leaves)
+    assert any("model" in (l.sharding.spec or ()) for l in leaves)
+
+    # trajectory parity (same tolerance story as the fsdp test: layouts
+    # only reorder float reductions; Adam amplifies over 4 steps)
+    tp_host = multihost.gather_state(s_tp, mesh2d)
+    for a, b in zip(jax.tree.leaves(tp_host.params),
+                    jax.tree.leaves(s_dp.params)):
+        np.testing.assert_allclose(a, np.asarray(b.addressable_data(0)),
+                                   atol=8e-3)
+
+    if pid == 0:
+        template = create_train_state(jax.random.key(0), cfg,
+                                      make_optimizer(cfg))
+        loaded, epoch, _ = ckpt_lib.resume("CKPT_tp/svs_tp.ckpt", template)
+        assert epoch == 2
+        for a, b in zip(jax.tree.leaves(tp_host.params),
+                        jax.tree.leaves(loaded.params)):
+            np.testing.assert_array_equal(a, np.asarray(b))
+    print("MH_TP_OK")
+    """.format(train_dir=train_dir))
+    outs = _run_pair(script, tmp_path, timeout=900)
+    for out in outs:
+        assert "MH_TP_OK" in out
+
+    def losses(tag, key):
+        return [json.loads(l)[key] for l in
+                open(str(tmp_path / f"LOG_{tag}" / f"metrics_{tag}.jsonl"))
+                if key in json.loads(l)]
+    for key in ("train_loss", "val_loss"):
+        got, want = losses("tp", key), losses("dp", key)
+        assert len(got) == len(want) == 2
+        np.testing.assert_allclose(got, want, rtol=1e-3)
+
+
 def test_two_process_fsdp_resume_matches_uninterrupted(tmp_path):
     """Multi-host FSDP broadcast-then-shard resume: a 2-epoch fsdp run
     checkpointed via the collective gather, then resumed (host-side load +
