@@ -11,14 +11,18 @@ uses the chips:
        the long-patch mode (fine_tune geometry)
     3. TP training (--tp): conv CHANNELS sharded on the "model" axis of a
        2-D (data, model) mesh — GSPMD derives the collectives
-    4. segment-parallel + halo time-sharded whole-song inference
+    4. ZeRO-1 / FSDP: the same DP step with the optimizer state (and,
+       fsdp, params/BN too) sharded across the data axis
+    5. segment-parallel + halo time-sharded whole-song inference
 
 Run:  python examples/scaleout.py [workdir]
 
 Multi-host (DCN) jobs use the same ``fit(mesh=...)`` call — each host runs
-this program under ``jax.distributed.initialize``; song sharding, global
-batch assembly, coordinated preemption and broadcast-verified resume are
-automatic (svs_tpu/parallel/multihost.py, tests/test_multiprocess.py).
+this program under ``jax.distributed.initialize`` (or launches
+``svs-train --multihost``); song sharding, global batch assembly,
+coordinated preemption, broadcast-verified resume and (for partitioned
+ZeRO/FSDP/TP layouts) collective gather-on-save are automatic
+(svs_tpu/parallel/multihost.py, tests/test_multiprocess.py).
 """
 
 import os
@@ -109,7 +113,20 @@ def main():
     print(f"TP: trained {int(state_tp.step)} steps, channels split 4-way, "
           "batch 2-way")
 
-    # 4) whole-song inference, two sharded ways
+    # 4) FSDP: the DP step with params/BN/Adam moments sharded across the
+    #    data axis (ZeRO-3 analogue; zero1=True shards the moments only)
+    state_fs = fit(TrainOptions(
+        train_folder=os.path.join(work, "spec"),
+        valid_folder="missing", label="fsdp_demo", epoch=1, batch_size=8,
+        ckpt_dir=os.path.join(work, "CKPT"),
+        log_dir=os.path.join(work, "LOG"),
+        load_path="none", progress=False,
+        mesh=mesh, parallel="dp", fsdp=True,
+    ), cfg)
+    print(f"FSDP: trained {int(state_fs.step)} steps, state sharded "
+          f"{mesh.devices.size}-way")
+
+    # 5) whole-song inference, two sharded ways
     mix, _ = wavio.load_audio(
         os.path.join(work, "songs", "song0", "mixture.wav"),
         sr=cfg.sample_rate)

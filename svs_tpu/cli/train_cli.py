@@ -3,7 +3,12 @@
 Flag surface preserved from reference train.py:157-167:
   --train_folder --load_path --label(required) --epoch --batch_size
   --valid_folder --val_interval
-TPU-build extensions: --preset --seed --export_pth --dp --ckpt_dir --log_dir.
+TPU-build extensions: --preset --seed --export_pth --dp --ckpt_dir --log_dir,
+parallel layouts (--cp --tp --zero1 --fsdp --accum), compute knobs (--dtype
+--remat --device_data --epoch_scan --async_save), validation SDR tracking
+(--val_sdr), and multi-host control (--multihost --coordinator --num_hosts
+--host_id — makes every parallel layout reachable as one CLI process per
+host; TPU pods auto-detect the coordinator).
 """
 
 from __future__ import annotations
@@ -27,6 +32,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--export_pth", action="store_true",
                    help="also write reference-loadable .pth checkpoints")
+    p.add_argument("--multihost", action="store_true",
+                   help="initialise jax.distributed before building the "
+                        "mesh, making this process one controller of a "
+                        "multi-host job (TPU pods auto-detect the "
+                        "coordinator; elsewhere pass --coordinator/"
+                        "--num_hosts/--host_id).  Composes with --dp, "
+                        "--dp --zero1/--fsdp, --tp and --cp")
+    p.add_argument("--coordinator", type=str, default=None,
+                   metavar="HOST:PORT",
+                   help="jax.distributed coordinator address (implies "
+                        "--multihost; requires --num_hosts and --host_id)")
+    p.add_argument("--num_hosts", type=int, default=None)
+    p.add_argument("--host_id", type=int, default=None)
     p.add_argument("--dp", action="store_true",
                    help="data-parallel training over all visible devices")
     p.add_argument("--cp", action="store_true",
@@ -111,6 +129,22 @@ def main(argv=None) -> int:
         cfg = dataclasses.replace(cfg, compute_dtype=args.dtype)
     if args.remat:
         cfg = dataclasses.replace(cfg, remat=True)
+    if args.multihost or args.coordinator is not None:
+        # before any mesh building: jax.devices() must be the GLOBAL list
+        import jax
+        kw = {}
+        if args.coordinator is not None:
+            if args.num_hosts is None or args.host_id is None:
+                raise SystemExit("--coordinator requires --num_hosts and "
+                                 "--host_id")
+            kw = dict(coordinator_address=args.coordinator,
+                      num_processes=args.num_hosts,
+                      process_id=args.host_id)
+        jax.distributed.initialize(**kw)
+        print(f"[svs-tpu] multi-host: process "
+              f"{jax.process_index()}/{jax.process_count()}, "
+              f"{len(jax.local_devices())} local of "
+              f"{len(jax.devices())} global devices")
     mesh = None
     parallel = "dp"
     if args.cp and (args.dp or args.tp is not None):

@@ -145,6 +145,7 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
                          "decode gathers the full params on the host")
     local_bs = opts.batch_size
     train_steps = None
+    cp_multihost = pc > 1 and opts.parallel == "cp"
     if pc > 1:
         if opts.mesh is None:
             raise ValueError("multi-process training requires "
@@ -158,9 +159,17 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
             # (the sampler re-crops songs anyway)
             ds.file_names = shard or [full[jax.process_index() % len(full)]]
 
-        local_bs = -(-opts.batch_size // pc)  # per-host quota
-        train_steps = -(-len(train_ds) // (local_bs * pc))
-        _shard_songs(train_ds)
+        if cp_multihost:
+            # CP shards the TIME axis, not the batch: every host feeds the
+            # IDENTICAL whole batch (the cross-host device_put same-value
+            # contract), so songs are NOT sharded and batch/step counts are
+            # the single-host ones.  Requires the identical epoch seed on
+            # every host (below) so the hosts sample the same crops.
+            train_steps = -(-len(train_ds) // opts.batch_size)
+        else:
+            local_bs = -(-opts.batch_size // pc)  # per-host quota
+            train_steps = -(-len(train_ds) // (local_bs * pc))
+            _shard_songs(train_ds)
         # validation songs are deliberately NOT sharded: every host iterates
         # the same global sequence (multihost.global_batch_from_global), so
         # avg_val_loss — and the best-checkpoint decision it drives — is
@@ -241,21 +250,32 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
     if opts.mesh is not None and opts.parallel == "cp":
         # context parallelism: patch TIME axis sharded with halo exchange;
         # batch stays whole, so the host pipeline and (whole-batch,
-        # single-program) validation are unchanged.  Multi-host CP would
-        # need a time-sharded input pipeline — not wired; DP covers
-        # multi-host (loud check below).
-        if pc > 1:
-            raise ValueError("parallel='cp' supports single-host meshes; "
-                             "use parallel='dp' for multi-host jobs")
+        # single-program) validation are unchanged.  Multi-host works too:
+        # every host samples the IDENTICAL batch (songs unsharded, shared
+        # epoch seed above) and the same shard_batch_time device_put
+        # distributes it over the cross-host mesh (same-value contract);
+        # halo ppermutes at the host boundary ride DCN — small transfers
+        # (halo 2/1 columns per level), the layout long songs need when one
+        # host's chips can't hold the time axis.
         from svs_tpu.parallel import dp, halo
         train_step = halo.make_cp_train_step(opts.mesh, cfg, optimizer)
         state = dp.replicate_state(state, opts.mesh)
         if opts.device_put is None:
             put = lambda b: halo.shard_batch_time(opts.mesh, b)  # noqa: E731
-            # eval: state is replicated, so the unsharded eval program on
-            # the default device is correct as-is (B is small at long
-            # patch lengths; no eval sharding needed)
-            put_val = lambda b: b  # noqa: E731
+            if pc > 1:
+                # eval inputs must be global arrays next to the mesh-wide
+                # replicated state: replicate the identical host batch
+                # (matches the single-host whole-batch eval semantics)
+                from svs_tpu.parallel import mesh as mesh_lib
+                _rep = mesh_lib.replicated(opts.mesh)
+                put_val = lambda b: {  # noqa: E731
+                    k: jax.device_put(np.asarray(v), _rep)
+                    for k, v in b.items()}
+            else:
+                # eval: state is replicated, so the unsharded eval program
+                # on the default device is correct as-is (B is small at
+                # long patch lengths; no eval sharding needed)
+                put_val = lambda b: b  # noqa: E731
     elif opts.mesh is not None and opts.parallel == "tp":
         # tensor (channel) parallelism: conv channels shard on the mesh's
         # "model" axis, the batch on its "data" axis (if any) —
@@ -493,8 +513,11 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
             t0 = time.time()
             losses = []
             # per-host seed: hosts shard the songs, so identical seeds would
-            # only correlate crop offsets; still mixed in for independence
-            epoch_seed = opts.seed * 100003 + ep + jax.process_index() * 7919
+            # only correlate crop offsets; still mixed in for independence.
+            # EXCEPT multi-host CP, where every host must sample the
+            # identical whole batch (time is what shards, not rows).
+            host_mix = 0 if cp_multihost else jax.process_index() * 7919
+            epoch_seed = opts.seed * 100003 + ep + host_mix
             if epoch_fn is not None:
                 # whole epoch in one jitted scan (the same index stream and
                 # rng-split sequence as the per-step path below)
