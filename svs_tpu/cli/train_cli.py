@@ -111,7 +111,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="run each epoch as ONE jitted lax.scan over the "
                         "HBM-resident crops (one dispatch + one loss fetch "
                         "per epoch; requires --device_data on/auto, "
-                        "single process, no mesh)")
+                        "single process, mesh-free or plain --dp)")
     return p
 
 

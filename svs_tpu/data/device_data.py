@@ -173,6 +173,32 @@ class DeviceDataset:
                        jnp.asarray(starts, jnp.int32),
                        input_len=self.input_len)
 
+    def gather_mesh(self, songs: np.ndarray, starts: np.ndarray,
+                    pad_rows_to: Optional[int] = None
+                    ) -> Dict[str, jax.Array]:
+        """Mesh-mode companion of :meth:`gather`: one batch-sharded,
+        zero-weight-padded batch at explicit indices — the same padding
+        policy as :meth:`batches` (which delegates here), used by the
+        DP-mesh epoch-scan path for the ragged tail batch."""
+        assert self.mesh is not None and not self.time_sharded
+        songs = np.asarray(songs, np.int32)
+        starts = np.asarray(starts, np.int32)
+        b = len(songs)
+        # pad to the batch-sharding axis's size (== device count on the
+        # 1-D DP mesh; the "data" dimension only on a 2-D (data, model)
+        # TP mesh) — mirrors mesh.shard_batch's padding policy exactly
+        n_dev = int(self.mesh.shape[self.axis_name])
+        padded = -(-max(b, pad_rows_to or 0) // n_dev) * n_dev
+        weight = np.zeros(padded, np.float32)
+        weight[:b] = 1.0
+        # pad indices with (song 0, start 0): the gathered rows are
+        # zeroed by the in-kernel weight multiply, matching the host
+        # distributor's appended zero rows exactly
+        songs = np.pad(songs, (0, padded - b))
+        starts = np.pad(starts, (0, padded - b))
+        return self._gather_mesh(self.planes, jnp.asarray(songs),
+                                 jnp.asarray(starts), jnp.asarray(weight))
+
     def batches(
         self,
         batch_size: int,
@@ -205,21 +231,7 @@ class DeviceDataset:
                                         jnp.asarray(starts),
                                         jnp.ones(b, jnp.float32))
                 continue
-            # pad to the batch-sharding axis's size (== device count on the
-            # 1-D DP mesh; the "data" dimension only on a 2-D (data, model)
-            # TP mesh) — mirrors mesh.shard_batch's padding policy exactly
-            n_dev = int(self.mesh.shape[self.axis_name])
-            padded = -(-max(b, pad_rows_to or 0) // n_dev) * n_dev
-            weight = np.zeros(padded, np.float32)
-            weight[:b] = 1.0
-            # pad indices with (song 0, start 0): the gathered rows are
-            # zeroed by the in-kernel weight multiply, matching the host
-            # distributor's appended zero rows exactly
-            songs = np.pad(songs, (0, padded - b))
-            starts = np.pad(starts, (0, padded - b))
-            yield self._gather_mesh(self.planes, jnp.asarray(songs),
-                                    jnp.asarray(starts),
-                                    jnp.asarray(weight))
+            yield self.gather_mesh(songs, starts, pad_rows_to=pad_rows_to)
 
 
 def _pack_planes(host: PatchDataset) -> Dict[str, np.ndarray]:

@@ -401,14 +401,22 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
 
     epoch_fn = None
     if opts.epoch_scan:
-        if not (dd is not None and isinstance(train_ds, dd.DeviceDataset)
-                and train_ds.mesh is None):
+        resident = dd is not None and isinstance(train_ds, dd.DeviceDataset)
+        # mesh-free, or a plain-DP mesh (the ZeRO/FSDP/TP/CP layouts keep
+        # the per-step path: their state/batch shardings differ from the
+        # replicated-state + batch-sharded program the scan compiles)
+        ok = resident and (
+            train_ds.mesh is None
+            or (not train_ds.time_sharded and opts.parallel == "dp"
+                and not (opts.zero1 or opts.fsdp)))
+        if not ok:
             raise ValueError(
                 "epoch_scan requires the device-resident dataset on a "
-                "single-process, mesh-free run (device_data='on'/'auto' "
-                "with the dataset under the HBM cap)")
+                "single-process run, mesh-free or plain-DP mesh "
+                "(device_data='on'/'auto' with the dataset under the HBM "
+                "cap; not cp/tp/zero1/fsdp)")
         from svs_tpu.train.scan import make_epoch_scan
-        epoch_fn = make_epoch_scan(cfg, optimizer)
+        epoch_fn = make_epoch_scan(cfg, optimizer, mesh=train_ds.mesh)
 
     val_batch_kwargs = {}
     if dd is not None:
@@ -532,8 +540,10 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
                     losses = np.asarray(jax.device_get(loss_vec)).tolist()
                 if tail is not None:  # ragged last batch: per-step program
                     rng, sub = jax.random.split(rng)
-                    state, aux = train_step(
-                        state, train_ds.gather(tail[0], tail[1]), sub)
+                    tail_batch = (train_ds.gather(tail[0], tail[1])
+                                  if train_ds.mesh is None else
+                                  train_ds.gather_mesh(tail[0], tail[1]))
+                    state, aux = train_step(state, tail_batch, sub)
                     losses.append(aux["total"])
             else:
                 batches = train_ds.batches(

@@ -20,6 +20,11 @@ so equivalence tests use float tolerances; the reference semantics
 
 The ragged tail batch (when batch_size doesn't divide the epoch) runs
 through the regular per-step program after the scan — same RNG order.
+
+A plain-DP mesh composes (``make_epoch_scan(mesh=...)``): the scan body
+constrains each gathered batch batch-sharded, so GSPMD partitions gather +
+step across the devices while the epoch still costs one dispatch and one
+loss fetch (equivalence pinned in tests/test_epoch_scan.py).
 """
 
 from __future__ import annotations
@@ -36,7 +41,8 @@ from svs_tpu.utils.config import SVSConfig
 
 
 def make_epoch_scan(cfg: Optional[SVSConfig] = None,
-                    optimizer: Optional[optax.GradientTransformation] = None):
+                    optimizer: Optional[optax.GradientTransformation] = None,
+                    mesh=None, axis_name: str = "data"):
     """Returns jitted ``epoch(state, planes, songs, starts, rng) ->
     (state, rng, losses)``.
 
@@ -47,21 +53,72 @@ def make_epoch_scan(cfg: Optional[SVSConfig] = None,
     the tail batch / next epoch.  ``losses`` is the (n_steps,) per-step
     total-loss vector (the loop's text-log contract needs per-step values
     for the epoch mean, reference train.py:303-313).
+
+    ``mesh``: DP variant — state replicated, planes replicated, and every
+    scanned batch constrained batch-sharded on ``axis_name``
+    (``with_sharding_constraint``), so GSPMD partitions the in-scan gather
+    AND the step across the mesh: the same program data-parallel, still
+    with one host round-trip per epoch.  Batch rows pad INSIDE the program
+    to a device-count multiple with the 0/1 weight vector the step's
+    reductions (loss means, norms, sync-BN stats) already honour —
+    weight-zeroed rows are exactly the host distributor's zero rows, so
+    any batch size runs.  DP layouts only (the ZeRO/FSDP/TP state
+    shardings differ from the replicated in_shardings used here; the
+    per-step path covers those).
     """
     cfg = cfg or SVSConfig()
     step_fn = make_step_fn(cfg, optimizer)
     input_len = cfg.input_len
 
+    if mesh is None:
+        def epoch(state, planes, songs, starts, rng):
+            def body(carry, xs):
+                state, rng = carry
+                s, st = xs
+                rng, sub = jax.random.split(rng)
+                batch = gather_crops(planes, s, st, input_len)
+                state, aux = step_fn(state, batch, sub)
+                return (state, rng), aux["total"]
+
+            (state, rng), losses = lax.scan(body, (state, rng),
+                                            (songs, starts))
+            return state, rng, losses
+
+        return jax.jit(epoch, donate_argnums=(0,))
+
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from svs_tpu.data.device_data import _gather_weighted
+
+    n_dev = int(mesh.shape[axis_name])
+    bsh = NamedSharding(mesh, P(axis_name))
+    rep = NamedSharding(mesh, P())
+
     def epoch(state, planes, songs, starts, rng):
+        b = songs.shape[1]
+        padded = -(-b // n_dev) * n_dev
+        weight = jnp.concatenate([jnp.ones(b, jnp.float32),
+                                  jnp.zeros(padded - b, jnp.float32)])
+
         def body(carry, xs):
             state, rng = carry
             s, st = xs
             rng, sub = jax.random.split(rng)
-            batch = gather_crops(planes, s, st, input_len)
+            # pad indices with (song 0, start 0): the weight multiply in
+            # the gather zeroes those rows exactly (device_data policy)
+            s = jnp.pad(s, (0, padded - b))
+            st = jnp.pad(st, (0, padded - b))
+            batch = _gather_weighted(planes, s, st, weight,
+                                     input_len=input_len)
+            batch = jax.lax.with_sharding_constraint(
+                batch, {k: bsh for k in batch})
             state, aux = step_fn(state, batch, sub)
             return (state, rng), aux["total"]
 
         (state, rng), losses = lax.scan(body, (state, rng), (songs, starts))
         return state, rng, losses
 
-    return jax.jit(epoch, donate_argnums=(0,))
+    return jax.jit(epoch, donate_argnums=(0,),
+                   in_shardings=(rep, rep, rep, rep, rep),
+                   out_shardings=(rep, rep, rep))

@@ -86,6 +86,67 @@ def test_fit_epoch_scan_matches_per_step(tmp_path):
     assert mean_d < 4e-4, mean_d
 
 
+def test_fit_epoch_scan_mesh_matches_per_step(tmp_path):
+    """DP-mesh epoch scan: fit(mesh, epoch_scan) == fit(mesh, per-step
+    device pipeline) to float tolerance — the same index stream and
+    rng-split sequence, with the scanned batches constrained batch-sharded
+    (incl. the in-program zero-weight pad of batch 4 on the 8-device mesh)
+    and the ragged tail going through gather_mesh."""
+    from svs_tpu.parallel import mesh as mesh_lib
+
+    train_dir = str(tmp_path / "train")
+    _make_spec_dataset(train_dir, frames=(200, 90, 150))
+    cfg = SVSConfig(samples_per_song=2, input_len=64)
+    mesh = mesh_lib.make_mesh()
+
+    def run(scan, tag):
+        opts = TrainOptions(
+            train_folder=train_dir, valid_folder=str(tmp_path / "novalid"),
+            label=tag, epoch=2, batch_size=4,
+            ckpt_dir=str(tmp_path / f"CKPT_{tag}"),
+            log_dir=str(tmp_path / f"LOG_{tag}"),
+            load_path=str(tmp_path / "none.ckpt"), progress=False,
+            device_data="on", epoch_scan=scan, mesh=mesh,
+        )
+        state = fit(opts, cfg)
+        return state, _train_losses(str(tmp_path / f"LOG_{tag}" /
+                                        f"log_{tag}.txt"))
+
+    s_step, losses_step = run(False, "mst")
+    s_scan, losses_scan = run(True, "msc")
+    assert int(s_step.step) == int(s_scan.step) == 4
+    np.testing.assert_allclose(losses_scan[0], losses_step[0], rtol=2e-6)
+    np.testing.assert_allclose(losses_scan, losses_step, rtol=1e-4)
+    # same Adam near-zero-gradient envelope as the single-device variant
+    leaves = [(np.asarray(a), np.asarray(b))
+              for a, b in zip(jax.tree.leaves(s_step.params),
+                              jax.tree.leaves(s_scan.params))]
+    lr = cfg.learning_rate
+    max_d = max(float(np.max(np.abs(a - b))) for a, b in leaves)
+    mean_d = (sum(float(np.sum(np.abs(a - b))) for a, b in leaves)
+              / sum(a.size for a, _ in leaves))
+    assert max_d <= 4 * 2.1 * lr, max_d
+    assert mean_d < 4e-4, mean_d
+
+
+def test_epoch_scan_rejects_non_dp_layouts(tmp_path):
+    """cp/zero1/fsdp keep the per-step path; the gate is loud."""
+    from svs_tpu.parallel import mesh as mesh_lib
+
+    train_dir = str(tmp_path / "train")
+    _make_spec_dataset(train_dir, frames=(150,))
+    opts = TrainOptions(
+        train_folder=train_dir, valid_folder=str(tmp_path / "novalid"),
+        label="x", epoch=1, batch_size=2,
+        ckpt_dir=str(tmp_path / "CKPT"), log_dir=str(tmp_path / "LOG"),
+        load_path=str(tmp_path / "none.ckpt"), progress=False,
+        device_data="on", epoch_scan=True, mesh=mesh_lib.make_mesh(),
+        fsdp=True,
+    )
+    with pytest.raises(ValueError, match="epoch_scan requires"):
+        fit(opts, SVSConfig(samples_per_song=1, input_len=64))
+
+
 def test_epoch_scan_requires_device_data(tmp_path):
     train_dir = str(tmp_path / "train")
     _make_spec_dataset(train_dir, frames=(150,))
