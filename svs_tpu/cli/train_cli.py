@@ -140,6 +140,11 @@ def main(argv=None) -> int:
             kw = dict(coordinator_address=args.coordinator,
                       num_processes=args.num_hosts,
                       process_id=args.host_id)
+        elif args.num_hosts is not None or args.host_id is not None:
+            # would otherwise be silently dropped by the auto-detect path
+            raise SystemExit("--num_hosts/--host_id require --coordinator "
+                             "(without one, jax.distributed auto-detects "
+                             "the process identity)")
         jax.distributed.initialize(**kw)
         print(f"[svs-tpu] multi-host: process "
               f"{jax.process_index()}/{jax.process_count()}, "

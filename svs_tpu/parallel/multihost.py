@@ -9,6 +9,7 @@ a plain device_put, so the same training loop runs everywhere.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, List, Tuple
 
 import jax
@@ -232,24 +233,43 @@ def sync_resume(state, start_epoch: int, extras: Dict[str, Any],
     return state, int(header[0]), extras
 
 
+def _identity(x):
+    return x
+
+
+@functools.lru_cache(maxsize=8)
+def _gather_jit(mesh: Mesh):
+    """Per-mesh cached jitted identity that reshards its input to fully
+    replicated.  Module-level + cached so repeated checkpoint writes reuse
+    the SAME pjit callable — a fresh ``jax.jit(lambda ...)`` per save would
+    miss the trace cache every time (and remote compiles cost 20s-10min per
+    signature on the target rig).  One XLA signature per distinct leaf
+    (shape, dtype); a U-Net train state has ~a dozen."""
+    return jax.jit(_identity, out_shardings=NamedSharding(mesh, P()))
+
+
 def gather_state(state: Any, mesh: Mesh) -> Any:
     """Host-replicated numpy copy of a (possibly cross-host partitioned)
     train state — the save-side companion of the ZeRO/FSDP layouts
     (``parallel/zero.py``), where opt-state/params shards live on devices
     this process cannot address.
 
-    One jitted identity re-shards every leaf to fully-replicated (XLA
-    derives the all-gathers, riding ICI/DCN as the mesh dictates), then each
-    host copies its local full replica.  COLLECTIVE: every process must call
-    it at the same program point; the training loop does so right before
-    each primary-gated checkpoint write (the save sites are reached in
-    lockstep — epoch counts, ``saved_latest`` and the best-val decision are
-    identical on every host, and preemption stops are coordinated).
+    LEAF-WISE jitted identities re-shard to fully-replicated (XLA derives
+    the all-gathers, riding ICI/DCN as the mesh dictates), then each host
+    copies its local full replica.  Leaf-wise — not one whole-tree program —
+    so the device-memory spike is one replicated LEAF (~MBs), not the whole
+    replicated state: FSDP exists precisely for models whose full state
+    exceeds per-chip HBM, and a whole-tree gather would OOM at save time on
+    exactly those.  COLLECTIVE: every process must call it at the same
+    program point with the same tree structure (leaf order fixes the
+    collective order); the training loop does so right before each
+    primary-gated checkpoint write (the save sites are reached in lockstep —
+    epoch counts, ``saved_latest`` and the best-val decision are identical
+    on every host, and preemption stops are coordinated).
 
     Single-process (or already-replicated) states pass through the same
     path unchanged semantically — it is still a correct gather.
     """
-    rep = NamedSharding(mesh, P())
-    out_sh = jax.tree.map(lambda _: rep, state)
-    gathered = jax.jit(lambda s: s, out_shardings=out_sh)(state)
-    return jax.tree.map(lambda x: np.asarray(x.addressable_data(0)), gathered)
+    gather = _gather_jit(mesh)
+    return jax.tree.map(
+        lambda x: np.asarray(gather(x).addressable_data(0)), state)

@@ -73,7 +73,8 @@ class TrainOptions:
     # over the HBM-resident crops — one dispatch and one loss fetch per
     # EPOCH.  Removes the ~5 ms/step dispatch overhead the device-resident
     # pipeline still pays on slow links.  Requires device_data on a
-    # single-process mesh-free run.  Off by default: the scanned program's
+    # single-process run, mesh-free or plain-DP mesh (train/scan.py's mesh
+    # variant; not cp/tp/zero1/fsdp).  Off by default: the scanned program's
     # numerics match the per-step loop only to float tolerance (XLA may
     # fuse the scan body differently), while device_data alone is
     # bit-identical to the host pipeline.  Preemption granularity becomes
@@ -165,7 +166,13 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
             # contract), so songs are NOT sharded and batch/step counts are
             # the single-host ones.  Requires the identical epoch seed on
             # every host (below) so the hosts sample the same crops.
-            train_steps = -(-len(train_ds) // opts.batch_size)
+            # train_steps stays None: passing a step count would flip
+            # index_batches into wrap mode (full batches from concatenated
+            # permutations) and silently change the epoch semantics vs the
+            # single-host run whenever batch_size doesn't divide the epoch;
+            # the natural ragged-tail iteration is already lockstep because
+            # every host iterates the identical sequence.
+            pass
         else:
             local_bs = -(-opts.batch_size // pc)  # per-host quota
             train_steps = -(-len(train_ds) // (local_bs * pc))
@@ -264,13 +271,14 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
             put = lambda b: halo.shard_batch_time(opts.mesh, b)  # noqa: E731
             if pc > 1:
                 # eval inputs must be global arrays next to the mesh-wide
-                # replicated state: replicate the identical host batch
-                # (matches the single-host whole-batch eval semantics)
-                from svs_tpu.parallel import mesh as mesh_lib
-                _rep = mesh_lib.replicated(opts.mesh)
-                put_val = lambda b: {  # noqa: E731
-                    k: jax.device_put(np.asarray(v), _rep)
-                    for k, v in b.items()}
+                # replicated state.  Use the standard multi-host val
+                # distributor (rows zero-weight-padded to the FULL batch
+                # size so remainder batches keep one eval signature, rows
+                # sharded over the mesh — compute follows data against the
+                # replicated state, same policy as the DP/TP branches).
+                from svs_tpu.parallel import multihost
+                put_val = lambda b: multihost.global_batch_from_global(  # noqa: E731
+                    opts.mesh, b, pad_rows_to=opts.batch_size)
             else:
                 # eval: state is replicated, so the unsharded eval program
                 # on the default device is correct as-is (B is small at

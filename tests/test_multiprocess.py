@@ -494,7 +494,10 @@ def test_two_process_cp_fit_matches_single_host(tmp_path):
     host boundary) follows the SAME trajectory as the single-host 4-device
     CP run — identical by construction: songs are unsharded, the epoch
     seed is host-independent in CP mode, so every host feeds the identical
-    whole batch and the sharded program is the same math."""
+    whole batch and the sharded program is the same math.  batch_size=4
+    over 6 samples deliberately leaves a RAGGED TAIL batch: multi-host CP
+    must keep the single-host epoch semantics (natural iteration, sample
+    drawn once — NOT the wrap-mode full batches a step-count would force)."""
     train_dir = str(tmp_path / "train")
     _make_spec_dataset(train_dir, n_songs=3)
     body = textwrap.dedent("""
@@ -504,7 +507,7 @@ def test_two_process_cp_fit_matches_single_host(tmp_path):
 
     state = fit(TrainOptions(
         train_folder={train_dir!r}, valid_folder={train_dir!r},
-        label=LABEL, epoch=2, batch_size=3, val_interval=1,
+        label=LABEL, epoch=2, batch_size=4, val_interval=1,
         ckpt_dir=f"CKPT_{{LABEL}}", log_dir=f"LOG_{{LABEL}}",
         load_path="none", progress=False, mesh=mesh_lib.make_mesh(),
         parallel="cp",
