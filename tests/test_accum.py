@@ -155,6 +155,55 @@ def test_fit_accum_end_to_end(tmp_path, rng):
         ckpt_lib.resume(ckpt, plain)
 
 
+def test_fit_accum_composes_with_epoch_scan(tmp_path, rng):
+    """accum + epoch_scan: the MultiSteps-wrapped optimizer rides inside
+    the scanned epoch program (the scan body IS make_step_fn, which the
+    wrapper is part of) — trajectory must match the per-step accum run."""
+    from svs_tpu.train.loop import TrainOptions, fit
+
+    train_dir = str(tmp_path / "spec")
+    for folder in ("mixture", "vocal"):
+        os.makedirs(os.path.join(train_dir, folder), exist_ok=True)
+    for i in range(2):
+        base = f"{i:04d}_s{i}"
+        for folder in ("mixture", "vocal"):
+            np.save(os.path.join(train_dir, folder, f"{base}_spec.npy"),
+                    rng.random((513, 80)).astype(np.float32))
+            ang = rng.random((513, 80)).astype(np.float32) * 6 - 3
+            np.save(os.path.join(train_dir, folder, f"{base}_phase.npy"),
+                    np.exp(1j * ang).astype(np.complex64))
+
+    cfg = SVSConfig(input_len=64, samples_per_song=2, dropout_rate=0.0)
+
+    def run(scan, tag):
+        return fit(TrainOptions(
+            train_folder=train_dir, valid_folder="missing", label=tag,
+            epoch=2, batch_size=2, ckpt_dir=str(tmp_path / f"CKPT_{tag}"),
+            log_dir=str(tmp_path / f"LOG_{tag}"), progress=False,
+            accum_steps=2, device_data="on", epoch_scan=scan,
+            load_path="none",
+        ), cfg)
+
+    s_step = run(False, "as")
+    s_scan = run(True, "asc")
+    # 2 songs x 2 samples / batch 2 = 2 microbatch steps/epoch x 2 epochs
+    assert int(s_scan.step) == int(s_step.step) == 4
+    assert int(s_scan.opt_state.gradient_step) \
+        == int(s_step.opt_state.gradient_step) == 2
+    # same index stream + rng sequence; scan-fusion float noise through
+    # Adam's near-zero-gradient envelope (~2.1*lr per applied update on a
+    # sign flip — the bound test_epoch_scan.py documents), 2 updates here
+    leaves = [(np.asarray(a), np.asarray(b))
+              for a, b in zip(jax.tree.leaves(s_step.params),
+                              jax.tree.leaves(s_scan.params))]
+    lr = cfg.learning_rate
+    max_d = max(float(np.max(np.abs(a - b))) for a, b in leaves)
+    mean_d = (sum(float(np.sum(np.abs(a - b))) for a, b in leaves)
+              / sum(a.size for a, _ in leaves))
+    assert max_d <= 2 * 2.1 * lr, max_d
+    assert mean_d < 2e-4, mean_d
+
+
 def test_preemption_save_drops_partial_cycle(rng):
     """reset_accumulation zeroes mini_step/acc_grads (and is a no-op on
     unwrapped states) — the mid-epoch preemption save contract."""
