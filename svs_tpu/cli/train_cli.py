@@ -4,7 +4,7 @@ Flag surface preserved from reference train.py:157-167:
   --train_folder --load_path --label(required) --epoch --batch_size
   --valid_folder --val_interval
 TPU-build extensions: --preset --seed --export_pth --dp --ckpt_dir --log_dir,
-parallel layouts (--cp --tp --zero1 --fsdp --accum), compute knobs (--dtype
+parallel layouts (--cp --tp --pp --zero1 --fsdp --accum), compute knobs (--dtype
 --remat --device_data --epoch_scan --async_save), validation SDR tracking
 (--val_sdr), and multi-host control (--multihost --coordinator --num_hosts
 --host_id — makes every parallel layout reachable as one CLI process per
@@ -57,6 +57,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "K-way on a 'model' mesh axis (parallel/tp.py). "
                         "Alone: a (1, K) mesh; with --dp: a "
                         "(devices//K, K) data x model mesh")
+    p.add_argument("--pp", action="store_true",
+                   help="pipeline-parallel training: the U-Net's two "
+                        "halves live on 2 devices of a ('stage',) mesh; "
+                        "microbatches flow through a scanned ppermute "
+                        "pipeline (parallel/pp.py; GPipe BN semantics at "
+                        "--pp_micro > 1)")
+    p.add_argument("--pp_micro", type=int, default=4, metavar="N",
+                   help="with --pp: microbatches per step (must divide "
+                        "batch_size; 1 == the exact single-device program)")
+    p.add_argument("--pp_split", type=int, default=3, metavar="K",
+                   help="with --pp: encoder depth where the U splits "
+                        "across the two stages (1..5)")
     p.add_argument("--zero1", action="store_true",
                    help="with --dp: shard the optimizer state (Adam "
                         "moments) across the data axis — ZeRO stage 1 "
@@ -154,6 +166,14 @@ def main(argv=None) -> int:
     parallel = "dp"
     if args.cp and (args.dp or args.tp is not None):
         raise SystemExit("--cp is mutually exclusive with --dp/--tp")
+    if args.pp and (args.dp or args.cp or args.tp is not None
+                    or args.zero1 or args.fsdp):
+        raise SystemExit("--pp is mutually exclusive with the other "
+                         "parallel layouts")
+    if args.pp and args.accum > 1:
+        raise SystemExit("--pp does not compose with --accum (pipeline "
+                         "microbatching already accumulates; raise "
+                         "--pp_micro instead)")
     if args.accum < 1:
         raise SystemExit(f"--accum must be a positive microbatch count, "
                          f"got {args.accum}")
@@ -178,6 +198,12 @@ def main(argv=None) -> int:
         mesh = tp_lib.make_2d_mesh(n_data, args.tp)
         parallel = "tp"
         print(f"Tensor-parallel over a ({n_data} data, {args.tp} model) mesh")
+    elif args.pp:
+        from svs_tpu.parallel import pp as pp_lib
+        mesh = pp_lib.make_pp_mesh()
+        parallel = "pp"
+        print(f"Pipeline-parallel over 2 stages "
+              f"({args.pp_micro} microbatches, split at enc{args.pp_split})")
     elif args.dp or args.cp:
         from svs_tpu.parallel import mesh as mesh_lib
         mesh = mesh_lib.make_mesh()
@@ -201,6 +227,8 @@ def main(argv=None) -> int:
         async_save=args.async_save,
         mesh=mesh,
         parallel=parallel,
+        pp_micro=args.pp_micro,
+        pp_split=args.pp_split,
         device_data=args.device_data,
         device_data_cap_mb=args.device_data_cap_mb,
         epoch_scan=args.epoch_scan,

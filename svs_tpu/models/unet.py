@@ -277,40 +277,43 @@ def init(rng: jax.Array, cfg: Optional[SVSConfig] = None) -> Tuple[Params, State
     return {"enc": enc_p, "dec": dec_p}, {"enc": enc_s, "dec": dec_s}
 
 
-def apply(
-    params: Params,
-    state: State,
-    mix: jax.Array,
-    *,
-    train: bool = False,
-    dropout_rng: Optional[jax.Array] = None,
-    cfg: Optional[SVSConfig] = None,
-    weight: Optional[jax.Array] = None,
-) -> Tuple[jax.Array, State]:
-    """Predict the sigmoid soft mask for magnitude patches.
-
-    Args:
-      mix: (B, F, T) float magnitude patches, F=512 T=multiple-of-64
-           (reference feeds (B, 1, 512, 128) NCHW, model.py:169-175).
-      train: BatchNorm batch-stats + dropout when True (torch .train() mode).
-      dropout_rng: required when train=True.
-      weight: optional per-example (B,) 0/1 validity mask — padded examples
-           are excluded from BatchNorm batch statistics (train mode only),
-           making padded and unpadded batches exactly equivalent.
-
-    Returns (mask (B, F, T) float32, new_state).
-    """
-    cfg = cfg or SVSConfig()
-    cdtype = jnp.dtype(cfg.compute_dtype)
-    if train and dropout_rng is None:
-        raise ValueError("train=True requires dropout_rng")
-
-    x = mix[..., None].astype(jnp.float32)  # NHWC: (B, F, T, 1)
-
-    # the packed lowering is exact but specific to the reference geometry
-    # (kernel 5, stride 2, even spatial dims — true for every preset)
-    packable = (cfg.packed_edge_convs and cfg.kernel_size == 5
+def packable_edges(cfg: SVSConfig) -> bool:
+    """True when the exact packed (space-to-depth) edge-conv lowering
+    applies: the reference geometry (kernel 5, stride 2) with the flag on."""
+    return bool(cfg.packed_edge_convs and cfg.kernel_size == 5
                 and cfg.stride == 2)
+
+
+def final_dec(p: Dict[str, jax.Array], inp: jax.Array,
+              cfg: SVSConfig) -> jax.Array:
+    """The BN-less final deconv (decoder level 6, reference model.py:104-109)
+    — shared by ``apply`` and the stage runners in ``parallel/pp.py``."""
+    cdtype = jnp.dtype(cfg.compute_dtype)
+    deconv = (_conv_transpose_packed if packable_edges(cfg)
+              else _conv_transpose)
+    return deconv(inp, p["w"], cdtype) + p["b"].astype(cdtype)
+
+
+def make_level_fns(cfg: SVSConfig, *, train: bool,
+                   weight: Optional[jax.Array] = None):
+    """The per-level building blocks of :func:`apply`, as standalone
+    closures — ``(enc_level, dec_level)``.
+
+    Exposed (rather than kept inline in ``apply``) so stage-partitioned
+    runners (``parallel/pp.py`` pipeline stages) execute the EXACT same
+    level computation as the monolithic forward; ``apply`` itself is built
+    on these, so there is one definition to test.
+
+    - ``enc_level(p, s, x, packed) -> (x, mean, var)``: conv s2 -> BN ->
+      LeakyReLU (reference model.py:42-77).
+    - ``dec_level(p, s, inp, key) -> (x, mean, var)``: deconv -> BN -> ReLU
+      -> Dropout2d (reference model.py:79-109; the BN-less final deconv is
+      handled by the caller, as in ``apply``).
+
+    ``cfg.remat`` wraps both in ``jax.checkpoint`` exactly as ``apply``
+    always did.
+    """
+    cdtype = jnp.dtype(cfg.compute_dtype)
 
     def enc_level(p, s, x, packed=False):
         if packed and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
@@ -343,6 +346,44 @@ def apply(
         # long patches, e.g. the fine_tune preset's 1536 frames)
         enc_level = jax.checkpoint(enc_level, static_argnums=(3,))
         dec_level = jax.checkpoint(dec_level)
+    return enc_level, dec_level
+
+
+def apply(
+    params: Params,
+    state: State,
+    mix: jax.Array,
+    *,
+    train: bool = False,
+    dropout_rng: Optional[jax.Array] = None,
+    cfg: Optional[SVSConfig] = None,
+    weight: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, State]:
+    """Predict the sigmoid soft mask for magnitude patches.
+
+    Args:
+      mix: (B, F, T) float magnitude patches, F=512 T=multiple-of-64
+           (reference feeds (B, 1, 512, 128) NCHW, model.py:169-175).
+      train: BatchNorm batch-stats + dropout when True (torch .train() mode).
+      dropout_rng: required when train=True.
+      weight: optional per-example (B,) 0/1 validity mask — padded examples
+           are excluded from BatchNorm batch statistics (train mode only),
+           making padded and unpadded batches exactly equivalent.
+
+    Returns (mask (B, F, T) float32, new_state).
+    """
+    cfg = cfg or SVSConfig()
+    cdtype = jnp.dtype(cfg.compute_dtype)
+    if train and dropout_rng is None:
+        raise ValueError("train=True requires dropout_rng")
+
+    x = mix[..., None].astype(jnp.float32)  # NHWC: (B, F, T, 1)
+
+    # the packed lowering is exact but specific to the reference geometry
+    # (kernel 5, stride 2, even spatial dims — true for every preset)
+    packable = packable_edges(cfg)
+
+    enc_level, dec_level = make_level_fns(cfg, train=train, weight=weight)
 
     new_state: State = {"enc": [], "dec": []}
     skips = []
@@ -363,8 +404,7 @@ def apply(
             x, m, v = dec_level(p, state["dec"][i], inp, drop_keys[i])
             new_state["dec"].append(dict(mean=m, var=v))
         else:
-            deconv = _conv_transpose_packed if packable else _conv_transpose
-            x = deconv(inp, p["w"], cdtype) + p["b"].astype(cdtype)
+            x = final_dec(p, inp, cfg)
 
     mask = jax.nn.sigmoid(x.astype(jnp.float32))
     return mask[..., 0].astype(jnp.float32), new_state

@@ -88,8 +88,16 @@ class TrainOptions:
     # conv CHANNELS on the mesh's "model" axis (tensor parallelism,
     # parallel/tp.py; pass a tp.make_2d_mesh — composes with DP via its
     # "data" axis; multi-host meshes work when the model axis stays within
-    # each host — checked loudly)
+    # each host — checked loudly), "pp" pipelines the U's two halves over a
+    # 2-device ("stage",) mesh with microbatching (pipeline parallelism,
+    # parallel/pp.py; pass pp.make_pp_mesh; single-process; pp_micro /
+    # pp_split below; GPipe BN semantics at pp_micro > 1)
     parallel: str = "dp"
+    # pipeline parallelism knobs (parallel="pp"): microbatches per step
+    # (must divide batch_size; 1 == the exact single-device program) and
+    # the encoder depth where the U splits across the two stages
+    pp_micro: int = 4
+    pp_split: int = 3
     # with parallel="dp": shard the optimizer state (Adam moments, 2x param
     # bytes) across the data axis — ZeRO stage 1, parallel/zero.py.  Same
     # step semantics, different layout; multi-host like fsdp below.
@@ -199,7 +207,14 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
         from svs_tpu.data import device_data as dd
         is_cp = opts.mesh is not None and opts.parallel == "cp"
         is_tp = opts.mesh is not None and opts.parallel == "tp"
-        if is_tp:
+        is_pp = opts.mesh is not None and opts.parallel == "pp"
+        if is_pp:
+            # PP consumes whole replicated batches (the microbatch split
+            # happens inside the pipelined program) — the host pipeline
+            # with the fixed-size tail padder below is the right feed;
+            # a device dataset would gather batch-sharded.
+            pass
+        elif is_tp:
             # TP: gathered batches come out P("data")-sharded over the 2-D
             # (data, model) mesh — exactly make_tp_train_step's batch
             # sharding.  Validation keeps the host pipeline (the plain eval
@@ -284,6 +299,39 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
                 # on the default device is correct as-is (B is small at
                 # long patch lengths; no eval sharding needed)
                 put_val = lambda b: b  # noqa: E731
+    elif opts.mesh is not None and opts.parallel == "pp":
+        # pipeline parallelism: the U's two halves live on the two devices
+        # of a ("stage",) mesh; microbatches flow through a scanned
+        # ppermute pipeline (parallel/pp.py).  Batches stay whole and
+        # replicated (the microbatch split is inside the program); ragged
+        # tails pad to the fixed batch size with a 0/1 weight (empty
+        # microbatches are gated exactly — pp module docstring).
+        from svs_tpu.parallel import pp as pp_lib
+        if pc > 1:
+            raise ValueError("parallel='pp' is single-process: the stage "
+                             "link carries a boundary tensor every tick "
+                             "and belongs on ICI")
+        if ("stage" not in getattr(opts.mesh, "axis_names", ())
+                or int(opts.mesh.shape["stage"]) != 2):
+            raise ValueError("parallel='pp' needs a 2-device ('stage',) "
+                             "mesh (pp.make_pp_mesh)")
+        if opts.pp_micro < 1 or opts.batch_size % opts.pp_micro:
+            raise ValueError(f"pp_micro must divide batch_size "
+                             f"({opts.pp_micro} vs {opts.batch_size})")
+        if opts.accum_steps > 1:
+            raise ValueError("parallel='pp' does not compose with --accum "
+                             "(pipeline microbatching already accumulates; "
+                             "raise pp_micro instead)")
+        train_step = pp_lib.make_pp_train_step(
+            opts.mesh, cfg, optimizer, n_micro=opts.pp_micro,
+            split=opts.pp_split)
+        eval_step = pp_lib.make_pp_eval_step(opts.mesh, cfg,
+                                             split=opts.pp_split)
+        state = pp_lib.shard_state(state, opts.mesh, cfg,
+                                   split=opts.pp_split)
+        if opts.device_put is None:
+            put = lambda b: pp_lib.pad_batch(b, opts.batch_size)  # noqa: E731
+            put_val = lambda b: pp_lib.pad_batch(b, opts.batch_size)  # noqa: E731
     elif opts.mesh is not None and opts.parallel == "tp":
         # tensor (channel) parallelism: conv channels shard on the mesh's
         # "model" axis, the batch on its "data" axis (if any) —
@@ -404,6 +452,13 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
     if pc > 1 and (opts.zero1 or opts.fsdp or opts.parallel == "tp"):
         from svs_tpu.parallel import multihost
         snap_state = lambda s: multihost.gather_state(s, opts.mesh)  # noqa: E731
+    elif opts.mesh is not None and opts.parallel == "pp":
+        # PP state lives as flat stage stacks; checkpoints stay in the
+        # canonical tree format (resume into ANY layout), so every save
+        # site converts first (lossless, pp.gather_state)
+        from svs_tpu.parallel import pp as _pp
+        snap_state = lambda s: _pp.gather_state(  # noqa: E731
+            s, cfg, split=opts.pp_split)
     else:
         snap_state = lambda s: s  # noqa: E731
 
@@ -656,9 +711,12 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
                     # can never perturb the loss-based contract; per-song
                     # failures are caught inside validation_sdr
                     from svs_tpu.evaluation.val_sdr import validation_sdr
+                    # snap_state canonicalizes non-tree layouts (PP's flat
+                    # stage stacks) to the standard param/BN trees first
+                    _snap = snap_state(state)
                     sdr = validation_sdr(
-                        jax.device_get(state.params),
-                        jax.device_get(state.bn_state),
+                        jax.device_get(_snap.params),
+                        jax.device_get(_snap.bn_state),
                         opts.valid_folder, cfg,
                         max_songs=opts.val_sdr_songs)
                     for k in ("SDR", "SIR", "SAR", "NSDR"):
