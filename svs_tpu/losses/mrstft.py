@@ -123,6 +123,20 @@ _MAG_IMPLS = {
 }
 
 
+def _norm0(x: jax.Array) -> jax.Array:
+    """Frobenius norm with a DEFINED (zero) gradient at ``x == 0``.
+
+    ``jnp.linalg.norm``'s VJP is ``x / ||x||`` — 0/0 = NaN when the argument
+    vanishes exactly, which the SC numerator does for a dead all-padded
+    microbatch (both magnitudes clip to the same 1e-8 floor plane,
+    parallel/pp.py liveness gating) and for an exactly-perfect prediction.
+    Values equal ``jnp.linalg.norm`` everywhere; only the measure-zero
+    subgradient at 0 changes (to 0, so a downstream ``* 0`` gate really
+    zeroes the contribution instead of NaN-poisoning the step)."""
+    ss = jnp.sum(jnp.square(x))
+    return jnp.where(ss > 0, jnp.sqrt(jnp.where(ss > 0, ss, 1.0)), 0.0)
+
+
 def stft_loss(
     x: jax.Array,
     y: jax.Array,
@@ -169,11 +183,11 @@ def stft_loss(
     x_mag = mag(x, n_fft, hop, win)
     y_mag = mag(y, n_fft, hop, win)
     if weight is None:
-        sc = jnp.linalg.norm(y_mag - x_mag) / jnp.linalg.norm(y_mag)
+        sc = _norm0(y_mag - x_mag) / jnp.linalg.norm(y_mag)
         log_mag = jnp.mean(jnp.abs(jnp.log(x_mag) - jnp.log(y_mag)))
     else:
         w = weight.reshape(weight.shape + (1,) * (x_mag.ndim - 1))
-        sc = (jnp.linalg.norm(w * (y_mag - x_mag))
+        sc = (_norm0(w * (y_mag - x_mag))
               / jnp.linalg.norm(w * y_mag))
         per_example = x_mag.shape[-1] * x_mag.shape[-2]
         log_mag = (jnp.sum(w * jnp.abs(jnp.log(x_mag) - jnp.log(y_mag)))

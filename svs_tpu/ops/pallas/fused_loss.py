@@ -401,6 +401,10 @@ def stft_loss_fused(x: jax.Array, y: jax.Array, n_fft: int, hop: int,
     else:
         s = jnp.sum(p * weight[:, None], axis=0)
         n_examples = jnp.sum(weight)
-    sc = jnp.sqrt(s[0]) / jnp.sqrt(s[1])
+    # zero-safe sqrt on the SC numerator: d sqrt/d s0 = inf at s0 == 0 (a
+    # dead all-padded microbatch, or an exactly-perfect prediction) — match
+    # losses.mrstft._norm0's defined zero subgradient there
+    s0 = jnp.where(s[0] > 0, s[0], 1.0)
+    sc = jnp.where(s[0] > 0, jnp.sqrt(s0), 0.0) / jnp.sqrt(s[1])
     log_mag = s[2] / (n_examples * n_bins * n_frames)
     return w_sc * sc + w_log_mag * log_mag

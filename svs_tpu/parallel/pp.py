@@ -57,8 +57,11 @@ converters below map flat<->tree state losslessly for checkpoint interop.
 Semantics vs the single-device step
 -----------------------------------
 
-- ``n_micro=1``: bit-for-bit the single-device step's program (same batch,
-  same dropout key derivation) — pinned in tests/test_pp.py.
+- ``n_micro=1``: numerically equivalent to the single-device step — the
+  same program semantics (same batch, same dropout key derivation), but the
+  cond/scan/pack plumbing reassociates float reductions, so the pin is at
+  float-reassociation tolerance (rtol 2e-6 / atol 5e-6 in tests/test_pp.py),
+  not bitwise.
 - ``n_micro>1``: GPipe semantics — BatchNorm batch statistics are
   per-microbatch (like training torch at batch ``B/n_micro``), dropout keys
   fold in the microbatch index, the loss is the mean over microbatch
@@ -72,9 +75,12 @@ docs/ARCHITECTURE.md "Parallelism"); PP exists for scaled-up variants where
 neither params+optimizer nor a level's activations fit one chip and the
 channel axis is already TP-sharded — PP's per-layer traffic is one boundary
 tensor per tick regardless of width, the cheapest cut when channels get
-fat.  Each microbatch must contain at least one valid row when a padded
-``weight`` is used (same caveat as the unsharded step's fully-padded-batch
-case).
+fat.  Fully-padded (zero-weight) microbatches are handled exactly: the
+liveness gating substitutes an all-ones weight to keep intermediates
+finite and zeroes their loss/BN contributions (losses.mrstft._norm0 keeps
+the SC gradient defined when both magnitudes sit on the clip floor) —
+pinned in tests/test_pp.py.  Only a batch with NO live rows at all remains
+the caller's responsibility (same caveat as the unsharded step).
 """
 
 from __future__ import annotations
@@ -113,6 +119,10 @@ def make_pp_mesh(stage_axis: str = "stage") -> Mesh:
     devs = jax.devices()
     if len(devs) < 2:
         raise ValueError(f"pipeline needs 2 devices, have {len(devs)}")
+    if len(devs) > 2:
+        print(f"[svs-tpu] pipeline uses 2 of {len(devs)} devices; the other "
+              f"{len(devs) - 2} stay idle — use DP (--dp) or TP (--tp) to "
+              "engage the full mesh")
     return Mesh(np.asarray(devs[:2]), (stage_axis,))
 
 
@@ -131,6 +141,11 @@ def split_params(params, split: int) -> Tuple[Dict, Dict]:
 
 def join_params(stage0, stage1, split: int):
     """Inverse of :func:`split_params` (works for BN state trees too)."""
+    if len(stage0["enc"]) != split:
+        raise ValueError(
+            f"join_params: stage 0 carries {len(stage0['enc'])} encoder "
+            f"levels but split={split} — stages were cut at a different "
+            "point than the join expects")
     return {"enc": list(stage0["enc"]) + list(stage1["enc"]),
             "dec": list(stage1["dec"]) + list(stage0["dec"])}
 
@@ -253,7 +268,7 @@ def make_pp_pipeline(
         def mb_rng(m):
             # n_micro == 1 keeps the single-device step's exact dropout key
             # derivation (unet.apply splits the per-batch rng directly), so
-            # the trivial pipeline is bit-compatible with make_train_step
+            # the trivial pipeline matches make_train_step's semantics
             return rng if n_micro == 1 else jax.random.fold_in(rng, m)
 
         def take(name, m):
@@ -446,6 +461,30 @@ def _check_opt(opt_state):
             "use n_micro instead")
 
 
+def _check_converted(converted, params):
+    """Raise a clear error if :func:`_map_adam_moments` left a param-shaped
+    leaf unconverted.  The module supports exactly the
+    ``inject_hyperparams(adam)`` chain ``make_optimizer`` builds; any other
+    optimizer with param-shaped state (SGD momentum trace, stateful
+    clipping, ...) keeps its tree through the mapper, and without this
+    guard the mismatch would surface only at ``optimizer.update`` as an
+    opaque tree-structure error against the (2, L) stacked params.
+    Detection is by leaf shape (a converted state holds only (2, L) stacks
+    and scalars/hyperparams — nothing kernel- or bias-shaped), so benign
+    dict subtrees like inject_hyperparams' ``hyperparams`` pass."""
+    param_shapes = {tuple(l.shape) for l in jax.tree.leaves(params)
+                    if getattr(l, "ndim", 0) >= 1}
+    for leaf in jax.tree.leaves(converted):
+        shape = tuple(getattr(leaf, "shape", ()))
+        if shape and shape in param_shapes:
+            raise ValueError(
+                "pipeline parallelism supports only the Adam chain from "
+                "svs_tpu.train.step.make_optimizer "
+                f"(inject_hyperparams(adam)): a param-shaped {shape} "
+                "optimizer-state leaf survived stage packing — this "
+                "optimizer's state cannot ride the (2, L) stage stacks")
+
+
 def state_shardings(mesh: Mesh, shapes: PPState,
                     stage_axis: str = "stage") -> PPState:
     """NamedShardings for a PPState: (2, L) stage stacks shard row-wise,
@@ -474,6 +513,7 @@ def shard_state(state: TrainState, mesh: Mesh,
             lambda t: ppack.pack2(t, split, split_params)),
         step=state.step,
     )
+    _check_converted(pp.opt_state, state.params)
     sh = state_shardings(mesh, jax.eval_shape(lambda: pp), stage_axis)
     return jax.tree.map(jax.device_put, pp, sh)
 
@@ -592,6 +632,7 @@ def make_pp_train_step(
             lambda t: jax.ShapeDtypeStruct((2, ppack.L), jnp.float32)),
         step=tstate.step,
     )
+    _check_converted(pp_shapes.opt_state, tstate.params)
     st_sh = state_shardings(mesh, pp_shapes, stage_axis)
     rep = NamedSharding(mesh, P())
 

@@ -122,3 +122,22 @@ def test_combined_loss_weighting(rng):
         rtol=1e-6,
     )
     assert np.isfinite(float(total))
+
+
+def test_mr_stft_grad_finite_at_exact_zero_diff(rng):
+    """The SC numerator norm used to NaN its VJP when pred == target exactly
+    (0/0 in x/||x||) — hit by dead all-padded PP microbatches (both mags at
+    the clip floor) and by exactly-perfect predictions.  _norm0 defines the
+    subgradient at 0 as 0; values are unchanged (test above)."""
+    import jax
+
+    x = rng.standard_normal((2, 20000)).astype(np.float32)
+    for impl in ("fft", "matmul_bf16"):
+        g = jax.grad(lambda a: mrstft.mr_stft_loss(
+            a, jnp.asarray(x), impl=impl))(jnp.asarray(x))
+        assert np.isfinite(np.asarray(g)).all(), impl
+    # all-zero pred AND target (the dead-microbatch case), weighted
+    z = jnp.zeros((2, 20000), jnp.float32)
+    w = jnp.ones((2,), jnp.float32)
+    g = jax.grad(lambda a: mrstft.mr_stft_loss(a, z, weight=w))(z)
+    assert np.isfinite(np.asarray(g)).all()

@@ -245,3 +245,37 @@ def test_pp_rejects_accum():
     state = create_train_state(jax.random.key(0), cfg, opt)
     with pytest.raises(ValueError, match="accum"):
         pp.shard_state(state, pp.make_pp_mesh(), cfg, split=3)
+
+
+def test_pp_rejects_unsupported_optimizer_loudly():
+    """An optimizer with non-Adam param-shaped state (SGD momentum trace)
+    must fail at shard_state with a clear message, not as an opaque optax
+    tree-structure error at the first update (ADVICE r3)."""
+    cfg = SVSConfig()
+    opt = optax.sgd(1e-3, momentum=0.9)
+    state = create_train_state(jax.random.key(0), cfg, opt)
+    with pytest.raises(ValueError, match="stage stacks"):
+        pp.shard_state(state, pp.make_pp_mesh(), cfg, split=3)
+    with pytest.raises(ValueError, match="stage stacks"):
+        pp.make_pp_train_step(pp.make_pp_mesh(), cfg, opt)
+
+
+def test_pp_mesh_notices_idle_devices(capsys):
+    """make_pp_mesh on an 8-device host says the other 6 stay idle
+    (ADVICE r3)."""
+    pp.make_pp_mesh()
+    out = capsys.readouterr().out
+    if len(jax.devices()) > 2:
+        assert "stay idle" in out
+
+
+def test_join_params_split_is_load_bearing():
+    """join_params validates the split point instead of ignoring it
+    (ADVICE r3)."""
+    cfg = SVSConfig()
+    params, _ = unet.init(jax.random.key(0), cfg)
+    s0, s1 = pp.split_params(params, 3)
+    joined = pp.join_params(s0, s1, 3)
+    assert len(joined["enc"]) == 6 and len(joined["dec"]) == 6
+    with pytest.raises(ValueError, match="different point"):
+        pp.join_params(s0, s1, 2)
