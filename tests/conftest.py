@@ -17,10 +17,21 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# hide cpu_aot_loader's benign machine-feature ERROR wall on persistent-
+# cache loads (pseudo tuning-features; same machine — see __graft_entry__)
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# persistent XLA compilation cache (shared with the driver dryrun): the
+# suite compiles hundreds of 8-device GSPMD programs — cold that dominates
+# the 75-90 min wall; warm reruns skip straight to execution
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".cache", "jax"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import numpy as np
 import pytest
