@@ -232,8 +232,12 @@ def _bwd_kernel_wide(*refs, k, n_frames, n_bins, tb, hop):
     # hop-wide ones; slice the shared fold's hop-wide planes back out
     dz = jnp.dot(gre, cos_ref[...].T, preferred_element_type=jnp.float32)
     dz += jnp.dot(gim, sin_ref[...].T, preferred_element_type=jnp.float32)
+    # planes are hp wide (lane-aligned) for the wide variant: every slice
+    # and store lands on the 128-lane boundary — Mosaic never needs a
+    # masked unaligned access (the hop-wide formulation hung its compiler);
+    # XLA slices the (hp-hop) pad columns off in the fold outside
     for j in range(k):
-        plane_refs[j][0] = dz[:, j * hp:j * hp + hop]
+        plane_refs[j][0] = dz[:, j * hp:(j + 1) * hp]
 
 
 def _bwd_kernel(*refs, k, n_frames, n_bins, tb):
@@ -343,7 +347,10 @@ def _vjp_bwd(n_fft, hop, win, wide, res, g):
 
     g_spec = pl.BlockSpec((b, 3), lambda bb, i: (0, 0),
                           memory_space=pltpu.SMEM)
-    plane_spec = pl.BlockSpec((1, tb, hop), lambda bb, i: (bb, i, 0),
+    # wide: hp-wide (lane-aligned) planes — see _bwd_kernel_wide; the pad
+    # columns are dropped in the fold below
+    pw = _hp(hop) if wide else hop
+    plane_spec = pl.BlockSpec((1, tb, pw), lambda bb, i: (bb, i, 0),
                               memory_space=pltpu.VMEM)
     if wide:
         kernel = functools.partial(_bwd_kernel_wide, k=k, n_frames=n_frames,
@@ -358,12 +365,14 @@ def _vjp_bwd(n_fft, hop, win, wide, res, g):
         grid=(b, n_blocks),
         in_specs=[z_spec] * (2 * k) + [basis, basis, g_spec],
         out_specs=[plane_spec] * k,
-        out_shape=[jax.ShapeDtypeStruct((b, rows, hop), jnp.float32)
+        out_shape=[jax.ShapeDtypeStruct((b, rows, pw), jnp.float32)
                    for _ in range(k)],
         scratch_shapes=scratch,
         interpret=_INTERPRET,
     )(*zx, *zy, jnp.asarray(cos), jnp.asarray(sin),
       g.astype(jnp.float32))
+    if wide and pw != hop:
+        planes = [p[:, :, :hop] for p in planes]
 
     # fold the K shifted planes back into the padded waveform cotangent
     # (plane j's row f lands on hop-rows [f + j]), then undo reflect padding
