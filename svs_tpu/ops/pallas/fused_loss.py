@@ -292,6 +292,21 @@ def _scratch(tb, k, hop):
     return [pltpu.VMEM(shape, jnp.bfloat16), pltpu.VMEM(shape, jnp.bfloat16)]
 
 
+def _wide_params(b, n_blocks, nbp):
+    """Raise the wide kernels' VMEM budget above the 16 MiB scoped default.
+
+    Mosaic keeps the three whole (B, n_blocks, nbp) f32 partials OUTPUTS
+    VMEM-resident (their block revisits every ``i`` step, and the arrays are
+    small enough that it skips HBM entirely) — measured on v5e at B=32,
+    2048-res: 20.75 MiB requested vs the 16 MiB default scoped limit, an
+    AOT-compile OOM that B<=16 sneaks under.  Budget the measured residents
+    (partials + the 10.6 MiB bases + slabs/scratch) with 2x headroom."""
+    partials = 3 * b * n_blocks * nbp * 4
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=min(2 * (partials + 16 * 1024 * 1024),
+                             100 * 1024 * 1024))
+
+
 def _run_fwd(x, y, n_fft, hop, win, wide):
     (b, t, tb, k, n_frames, n_blocks, rows, n_bins, nbp,
      cos, sin, z_spec, basis) = _launch_geometry(x, n_fft, hop, win, wide)
@@ -316,6 +331,7 @@ def _run_fwd(x, y, n_fft, hop, win, wide):
         out_specs=(part_spec, part_spec, part_spec),
         out_shape=(part_shape, part_shape, part_shape),
         scratch_shapes=scratch,
+        compiler_params=_wide_params(b, n_blocks, nbp) if wide else None,
         interpret=_INTERPRET,
     )(*zx, *zy, jnp.asarray(cos), jnp.asarray(sin))
     # (B, n_blocks, nbp) -> per-example scalars (B, 3)
@@ -368,6 +384,7 @@ def _vjp_bwd(n_fft, hop, win, wide, res, g):
         out_shape=[jax.ShapeDtypeStruct((b, rows, pw), jnp.float32)
                    for _ in range(k)],
         scratch_shapes=scratch,
+        compiler_params=_wide_params(b, n_blocks, nbp) if wide else None,
         interpret=_INTERPRET,
     )(*zx, *zy, jnp.asarray(cos), jnp.asarray(sin),
       g.astype(jnp.float32))
