@@ -130,6 +130,10 @@ def main(argv=None) -> int:
         return _frontend_bench(args.secs)
     if args.dp_smoke:
         return _dp_smoke()
+    # below the outage-safe branches: the remaining modes touch the device
+    # anyway, so initializing the backend for the cache decision is free
+    import svs_tpu
+    svs_tpu.enable_compile_cache()
     if args.train:
         import dataclasses
 

@@ -43,6 +43,8 @@ def _eval_track(paths, impl="numpy"):
     from svs_tpu.data import wav as wavio
 
     if impl == "jax":
+        import svs_tpu
+        svs_tpu.enable_compile_cache()  # idempotent; runs in pool workers too
         from svs_tpu.evaluation import bss_jax as bss
     else:
         from svs_tpu.evaluation import bss

@@ -69,8 +69,11 @@ def main(argv=None) -> int:
     import numpy as np
     from tqdm import tqdm
 
+    import svs_tpu
     from svs_tpu.infer import separate
     from svs_tpu.utils.config import get_config
+
+    svs_tpu.enable_compile_cache()
 
     cfg = get_config(args.preset)
     if args.dtype:

@@ -37,9 +37,12 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     import dataclasses
 
+    import svs_tpu
     from svs_tpu.cli.infer_cli import load_model
     from svs_tpu.serve.server import serve
     from svs_tpu.utils.config import get_config
+
+    svs_tpu.enable_compile_cache()
 
     cfg = get_config(args.preset)
     if args.dtype:

@@ -162,6 +162,10 @@ def main(argv=None) -> int:
               f"{jax.process_index()}/{jax.process_count()}, "
               f"{len(jax.local_devices())} local of "
               f"{len(jax.devices())} global devices")
+    # after any jax.distributed.initialize (backend init must follow it),
+    # before the first compile
+    import svs_tpu
+    svs_tpu.enable_compile_cache()
     mesh = None
     parallel = "dp"
     if args.cp and (args.dp or args.tp is not None):
