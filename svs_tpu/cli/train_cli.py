@@ -124,6 +124,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "HBM-resident crops (one dispatch + one loss fetch "
                         "per epoch; requires --device_data on/auto, "
                         "single process, mesh-free or plain --dp)")
+    p.add_argument("--augment", action="store_true",
+                   help="on-device remix augmentation: random source gains "
+                        "+ cross-song vocal remixing, exact via STFT "
+                        "linearity (extension — the reference recipe has "
+                        "no augmentation; single-process, not --epoch_scan)")
+    p.add_argument("--remix_p", type=float, default=0.5, metavar="P",
+                   help="with --augment: probability a row's vocal is "
+                        "swapped for another row's (default 0.5)")
+    p.add_argument("--aug_gain", type=float, nargs=2, default=(0.25, 1.25),
+                   metavar=("LO", "HI"),
+                   help="with --augment: per-source gain range U[LO, HI] "
+                        "(default 0.25 1.25)")
     return p
 
 
@@ -241,6 +253,10 @@ def main(argv=None) -> int:
         accum_steps=args.accum,
         val_sdr=args.val_sdr,
         val_sdr_songs=args.val_sdr_songs,
+        augment=args.augment,
+        remix_p=args.remix_p,
+        aug_gain_lo=args.aug_gain[0],
+        aug_gain_hi=args.aug_gain[1],
     )
     fit(opts, cfg)
     return 0

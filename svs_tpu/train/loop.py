@@ -120,6 +120,17 @@ class TrainOptions:
     # Single-process runs only (whole-song decode on host-gathered params).
     val_sdr: bool = False
     val_sdr_songs: Optional[int] = None  # cap songs scored per pass
+    # on-device remix augmentation (data/augment.py): random source gains +
+    # cross-song vocal/accompaniment remixing, exact by STFT linearity.
+    # INTENTIONAL EXTENSION — the reference has none (train.py:119-135);
+    # off by default so the reference recipe reproduces exactly.
+    # Single-process only (partners are drawn within the local batch);
+    # composes with mesh-free / dp / zero1 / fsdp / tp / cp / pp and the
+    # device-resident dataset, not with epoch_scan (per-step host vectors).
+    augment: bool = False
+    remix_p: float = 0.5       # probability a row's vocal is swapped
+    aug_gain_lo: float = 0.25  # per-source gain range U[lo, hi]
+    aug_gain_hi: float = 1.25
 
 
 def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
@@ -481,6 +492,42 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
         from svs_tpu.train.scan import make_epoch_scan
         epoch_fn = make_epoch_scan(cfg, optimizer, mesh=train_ds.mesh)
 
+    augmenter = None
+    if opts.augment:
+        if pc > 1:
+            raise ValueError(
+                "augment is single-process: remix partners are drawn within "
+                "the local batch, and multi-host batches assemble per-host "
+                "rows (hosts shard songs, so cross-host partners would need "
+                "a global draw this build doesn't do)")
+        if opts.epoch_scan:
+            raise ValueError(
+                "augment does not compose with epoch_scan: augmentation "
+                "vectors are drawn host-side per step and the scanned "
+                "epoch has no per-step host boundary")
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from svs_tpu.data.augment import Augmenter
+
+        # apply_remix runs AFTER put(), so its outputs must land in the
+        # exact batch layout each train step's in_shardings pin
+        aug_sh = None
+        if opts.mesh is not None:
+            if opts.parallel == "cp":
+                tsh = NamedSharding(opts.mesh, P(None, None, "data"))
+                aug_sh = {k: tsh for k in
+                          ("mix", "mix_angle", "voc", "voc_angle")}
+                aug_sh["weight"] = NamedSharding(opts.mesh, P())
+            elif opts.parallel == "pp":
+                aug_sh = NamedSharding(opts.mesh, P())  # replicated batch
+            elif opts.parallel == "tp":
+                spec = P("data") if "data" in opts.mesh.axis_names else P()
+                aug_sh = NamedSharding(opts.mesh, spec)
+            else:  # dp / zero1 / fsdp: batch (incl. weight) shards on dim 0
+                aug_sh = NamedSharding(opts.mesh, P("data"))
+        augmenter = Augmenter(opts.remix_p, opts.aug_gain_lo,
+                              opts.aug_gain_hi, out_shardings=aug_sh)
+
     val_batch_kwargs = {}
     if dd is not None:
         # device-resident batches are already placed (and, under a DP mesh,
@@ -619,9 +666,21 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
                                    total=(train_steps if train_steps is not None
                                           else train_ds.steps_per_epoch(local_bs)),
                                    leave=False)
+                if augmenter is not None:
+                    # one generator per epoch, seeded from the epoch seed —
+                    # resume-by-epoch-replay redraws the same augmentations
+                    augmenter.for_epoch(epoch_seed)
+                    n_items = len(train_ds)
                 for i, batch in enumerate(batches):
                     rng, sub = jax.random.split(rng)
-                    state, aux = train_step(state, put(batch), sub)
+                    b = put(batch)
+                    if augmenter is not None:
+                        # real-row count from the loop's own schedule (all
+                        # batches full except the known ragged tail) — never
+                        # fetched from the device weight vector (~40 ms RTT)
+                        b = augmenter(b, n_real=min(local_bs,
+                                                    n_items - i * local_bs))
+                    state, aux = train_step(state, b, sub)
                     losses.append(aux["total"])  # device scalar; fetched lazily
                     # multi-host: _should_stop is a blocking host collective
                     # (process_allgather) — poll every 8th step, not every

@@ -1,0 +1,217 @@
+"""Remix augmentation (data/augment.py) — INTENTIONAL EXTENSION; the
+reference has no augmentation (train.py:119-135).  Pins: the jitted
+transform against an independent numpy oracle, the bitwise pad/identity
+invariants the weighted step reductions rely on, sharded == unsharded on
+the DP mesh, and the loop integration end-to-end."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from svs_tpu.data.augment import (Augmenter, apply_remix, apply_remix_np,
+                                  draw_vectors)
+
+
+def _batch(rng, b=6, f=64, t=32, weight=None):
+    mix_c = (rng.standard_normal((b, f, t)) +
+             1j * rng.standard_normal((b, f, t)))
+    voc_c = 0.5 * (rng.standard_normal((b, f, t)) +
+                   1j * rng.standard_normal((b, f, t)))
+    mix_c = mix_c + voc_c  # mixture = accompaniment + vocal
+    out = {
+        "mix": np.abs(mix_c).astype(np.float32),
+        "mix_angle": np.angle(mix_c).astype(np.float32),
+        "voc": np.abs(voc_c).astype(np.float32),
+        "voc_angle": np.angle(voc_c).astype(np.float32),
+    }
+    if weight is not None:
+        w = np.asarray(weight, np.float32)
+        out = {k: v * w[:, None, None] for k, v in out.items()}
+        out["weight"] = w
+    return out
+
+
+def test_apply_remix_matches_numpy_oracle():
+    rng = np.random.default_rng(0)
+    batch = _batch(rng)
+    perm, g_voc, g_acc = draw_vectors(rng, 6, 6, remix_p=0.9,
+                                      gain_lo=0.25, gain_hi=1.25)
+    got = jax.jit(apply_remix)(batch, jnp.asarray(perm), jnp.asarray(g_voc),
+                               jnp.asarray(g_acc))
+    want = apply_remix_np(batch, perm, g_voc, g_acc)
+    for k in want:
+        np.testing.assert_allclose(np.asarray(got[k]), want[k],
+                                   rtol=2e-5, atol=2e-5, err_msg=k)
+
+
+def test_identity_vectors_preserve_batch():
+    """perm = identity, unit gains: targets bitwise, inputs to round-trip
+    tolerance (one magnitude/angle complex round trip on the mixture)."""
+    rng = np.random.default_rng(1)
+    batch = _batch(rng, b=4)
+    perm = np.arange(4, dtype=np.int32)
+    ones = np.ones(4, np.float32)
+    got = apply_remix(batch, jnp.asarray(perm), jnp.asarray(ones),
+                      jnp.asarray(ones))
+    # vocal planes never take the complex round trip: exact
+    assert np.array_equal(np.asarray(got["voc"]), batch["voc"])
+    assert np.array_equal(np.asarray(got["voc_angle"]), batch["voc_angle"])
+    np.testing.assert_allclose(np.asarray(got["mix"]), batch["mix"],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got["mix_angle"]),
+                               batch["mix_angle"], rtol=1e-5, atol=1e-5)
+
+
+def test_pad_rows_stay_bitwise_zero():
+    """Zero-weight pad rows must come out EXACTLY zero (the invariant the
+    weighted loss/BN reductions rely on)."""
+    rng = np.random.default_rng(2)
+    batch = _batch(rng, b=4, weight=[1, 1, 0, 0])
+    perm, g_voc, g_acc = draw_vectors(rng, 2, 4, remix_p=1.0,
+                                      gain_lo=0.25, gain_hi=1.25)
+    assert list(perm[2:]) == [2, 3]          # pads keep identity
+    assert g_voc[2] == g_voc[3] == 1.0
+    assert g_acc[2] == g_acc[3] == 1.0
+    assert perm[:2].max() < 2                # real rows remix among real rows
+    got = apply_remix(batch, jnp.asarray(perm), jnp.asarray(g_voc),
+                      jnp.asarray(g_acc))
+    for k in ("mix", "mix_angle", "voc", "voc_angle"):
+        assert np.all(np.asarray(got[k])[2:] == 0.0), k
+    assert np.array_equal(np.asarray(got["weight"]), batch["weight"])
+
+
+def test_draw_vectors_deterministic_and_bounded():
+    a = draw_vectors(np.random.default_rng(7), 5, 8, 0.5, 0.25, 1.25)
+    b = draw_vectors(np.random.default_rng(7), 5, 8, 0.5, 0.25, 1.25)
+    for x, y in zip(a, b):
+        assert np.array_equal(x, y)
+    perm, g_voc, g_acc = a
+    assert perm.dtype == np.int32 and perm.max() < 8
+    assert np.all((g_voc[:5] >= 0.25) & (g_voc[:5] <= 1.25))
+    assert np.all((g_acc[:5] >= 0.25) & (g_acc[:5] <= 1.25))
+    # remix_p = 0: identity permutation everywhere
+    perm0, _, _ = draw_vectors(np.random.default_rng(7), 5, 8, 0.0, 1.0, 1.0)
+    assert np.array_equal(perm0, np.arange(8, dtype=np.int32))
+
+
+def test_apply_remix_sharded_equals_unsharded():
+    """DP-mesh layout: apply_remix on a batch-sharded input with batch-
+    sharded out_shardings == the mesh-free program (the cross-row take
+    crosses shards; GSPMD's gather must not change values)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from svs_tpu.parallel import mesh as mesh_lib
+    mesh = mesh_lib.make_mesh()
+    rng = np.random.default_rng(3)
+    n = int(mesh.devices.size)
+    # 2n-1 real rows: shard_batch pads to 2n with one zero-weight row
+    raw = _batch(rng, b=2 * n - 1)
+    batch = {k: np.pad(v, ((0, 1), (0, 0), (0, 0))) for k, v in raw.items()}
+    batch["weight"] = np.asarray([1.0] * (2 * n - 1) + [0.0], np.float32)
+    perm, g_voc, g_acc = draw_vectors(rng, 2 * n - 1, 2 * n, 0.8, 0.25, 1.25)
+    plain = apply_remix(batch, jnp.asarray(perm), jnp.asarray(g_voc),
+                        jnp.asarray(g_acc))
+    sharded_in = mesh_lib.shard_batch(mesh, raw)  # pads + weights itself
+    fn = jax.jit(apply_remix, out_shardings=NamedSharding(mesh, P("data")))
+    got = fn(sharded_in, jnp.asarray(perm), jnp.asarray(g_voc),
+             jnp.asarray(g_acc))
+    for k in plain:
+        assert got[k].sharding.spec == P("data"), k
+        # same math, different program: the partitioned build fuses the
+        # trig/sqrt chain differently (observed ~1.4e-5 relative) — float
+        # tolerance, not bitwise
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(plain[k]),
+                                   rtol=1e-4, atol=1e-5, err_msg=k)
+
+
+def test_augmenter_epoch_replay_is_deterministic():
+    rng = np.random.default_rng(4)
+    batch = _batch(rng, b=4)
+    aug = Augmenter(remix_p=0.7)
+    out1 = aug.for_epoch(11)(batch)
+    out2 = aug.for_epoch(11)(batch)
+    for k in out1:
+        assert np.array_equal(np.asarray(out1[k]), np.asarray(out2[k])), k
+    # a later step in the same epoch draws differently (with p=0.7 on 4 rows
+    # the second draw differing from the first is overwhelmingly likely at
+    # this fixed seed; pinned by the array_equal below)
+    out3 = aug(batch)
+    assert not all(np.array_equal(np.asarray(out1[k]), np.asarray(out3[k]))
+                   for k in out1)
+
+
+def _make_spec_dataset(root, n_songs=3, t=150, seed=0):
+    rng = np.random.default_rng(seed)
+    for folder in ("mixture", "vocal"):
+        os.makedirs(os.path.join(root, folder), exist_ok=True)
+    for i in range(n_songs):
+        base = f"{i:04d}_s{i}"
+        for folder in ("mixture", "vocal"):
+            np.save(os.path.join(root, folder, f"{base}_spec.npy"),
+                    rng.random((513, t)).astype(np.float32))
+            ang = rng.random((513, t)).astype(np.float32) * 6 - 3
+            np.save(os.path.join(root, folder, f"{base}_phase.npy"),
+                    np.exp(1j * ang).astype(np.complex64))
+
+
+def test_fit_with_augment(tmp_path):
+    """End-to-end: 2 epochs with --augment on (mesh-free; 3 songs / batch 2
+    exercises the ragged-tail n_real path), finite losses, log contract."""
+    from svs_tpu.train.loop import TrainOptions, fit
+    from svs_tpu.utils.config import SVSConfig
+    train_dir = str(tmp_path / "train")
+    _make_spec_dataset(train_dir)
+    cfg = SVSConfig(samples_per_song=1)
+    opts = TrainOptions(
+        train_folder=train_dir, valid_folder=str(tmp_path / "novalid"),
+        label="aug", epoch=2, batch_size=2, progress=False,
+        ckpt_dir=str(tmp_path / "CKPT"), log_dir=str(tmp_path / "LOG"),
+        load_path=str(tmp_path / "none.ckpt"), augment=True,
+    )
+    state = fit(opts, cfg)
+    assert int(state.step) == 4  # 3 patches / batch 2 = 2 steps x 2 epochs
+    log = open(os.path.join(opts.log_dir, "log_aug.txt")).read().splitlines()
+    assert len(log) == 2 and all(np.isfinite(float(x)) for x in log)
+
+
+def test_fit_with_augment_dp_mesh(tmp_path):
+    """--augment composes with the DP mesh (sharded batches, zero-weight
+    pads from shard_batch) and the device-resident dataset path."""
+    from svs_tpu.parallel import mesh as mesh_lib
+    from svs_tpu.train.loop import TrainOptions, fit
+    from svs_tpu.utils.config import SVSConfig
+    train_dir = str(tmp_path / "train")
+    _make_spec_dataset(train_dir)
+    cfg = SVSConfig(samples_per_song=1)
+    opts = TrainOptions(
+        train_folder=train_dir, valid_folder=str(tmp_path / "novalid"),
+        label="augdp", epoch=1, batch_size=2, progress=False,
+        ckpt_dir=str(tmp_path / "CKPT"), log_dir=str(tmp_path / "LOG"),
+        load_path=str(tmp_path / "none.ckpt"), augment=True,
+        mesh=mesh_lib.make_mesh(),
+    )
+    state = fit(opts, cfg)
+    assert int(state.step) == 2
+    log = open(os.path.join(opts.log_dir,
+                            "log_augdp.txt")).read().splitlines()
+    assert all(np.isfinite(float(x)) for x in log)
+
+
+def test_fit_augment_rejects_epoch_scan(tmp_path):
+    from svs_tpu.train.loop import TrainOptions, fit
+    from svs_tpu.utils.config import SVSConfig
+    train_dir = str(tmp_path / "train")
+    _make_spec_dataset(train_dir, n_songs=2)
+    opts = TrainOptions(
+        train_folder=train_dir, valid_folder=str(tmp_path / "novalid"),
+        label="x", epoch=1, batch_size=2, progress=False,
+        ckpt_dir=str(tmp_path / "CKPT"), log_dir=str(tmp_path / "LOG"),
+        load_path=str(tmp_path / "none.ckpt"), augment=True,
+        epoch_scan=True, device_data="on",
+    )
+    with pytest.raises(ValueError, match="epoch_scan"):
+        fit(opts, SVSConfig(samples_per_song=1))
