@@ -7,11 +7,13 @@ workflow), on synthetic multi-voice songs, and writes a JSON summary:
     async save + .pth export -> whole-song & segment-mode separation ->
     BSS-eval SDR/NSDR -> spectrogram diff figure
 
-Run:  python scripts/convergence_demo.py [workdir] [epochs] [dtype] [remat]
+Run:  python scripts/convergence_demo.py [workdir] [epochs] [tokens...]
 
-dtype: optional compute dtype ("float32" / "bfloat16") — used for the
-bf16-as-default A/B gate (VERDICT r2 next #2).  remat: "remat" to turn on
-backward-pass rematerialisation.
+Optional tokens (any order): a compute dtype ("float32" / "bfloat16") —
+used for the bf16-as-default A/B gate (VERDICT r2 next #2); "remat" to
+turn on backward-pass rematerialisation; "augment" to enable the
+on-device remix augmentation (data/augment.py) — used for the
+augmentation-effect A/B (round 4).
 
 The songs are constructed so separation is learnable but not trivial:
 vocals are vibrato'd harmonic stacks with onsets/offsets, accompaniment is
@@ -129,10 +131,17 @@ def main():
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 300
     from svs_tpu.utils.config import get_config
     cfg = get_config("default")  # the SHIPPED config (bf16 since round 3)
-    if len(sys.argv) > 3 and sys.argv[3]:
-        cfg = dataclasses.replace(cfg, compute_dtype=sys.argv[3])
-    if len(sys.argv) > 4 and sys.argv[4] == "remat":
-        cfg = dataclasses.replace(cfg, remat=True)
+    augment = False
+    for tok in sys.argv[3:]:
+        if tok in ("float32", "bfloat16"):
+            cfg = dataclasses.replace(cfg, compute_dtype=tok)
+        elif tok == "remat":
+            cfg = dataclasses.replace(cfg, remat=True)
+        elif tok == "augment":
+            augment = True
+        elif tok:
+            raise SystemExit(f"unknown token {tok!r} "
+                             "(expected a dtype, 'remat' or 'augment')")
     os.makedirs(work, exist_ok=True)
 
     prep_splits(work, cfg)
@@ -152,6 +161,7 @@ def main():
         ckpt_dir=os.path.join(work, "CKPT"), log_dir=os.path.join(work, "LOG"),
         load_path=os.path.join(work, "none"), progress=False,
         async_save=True, save_every=10, export_pth=True, seed=0,
+        augment=augment,
     ), cfg)
     train_wall = time.perf_counter() - t0
     steps = int(state.step)
@@ -164,6 +174,7 @@ def main():
 
     results = {"epochs": epochs, "steps": steps,
                "compute_dtype": cfg.compute_dtype, "remat": cfg.remat,
+               "augment": augment,
                "train_wall_s": round(train_wall, 1),
                "steps_per_sec_incl_host": round(steps / train_wall, 1),
                "loss_first": train_losses[0], "loss_last": train_losses[-1],

@@ -74,6 +74,22 @@ def draw_vectors(rng: np.random.Generator, n_real: int, n_rows: int,
     return perm, g_voc, g_acc
 
 
+def draw_epoch(rng: np.random.Generator, n_steps: int, n_rows: int,
+               remix_p: float, gain_lo: float, gain_hi: float
+               ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Stacked per-epoch draw for the ``epoch_scan`` path: ``(n_steps,
+    n_rows)`` perm/gain matrices, drawn by ``n_steps`` calls of
+    :func:`draw_vectors` with every row real — in-scan batches are always
+    full (the ragged tail runs through the per-step program, which draws
+    NEXT from the same generator), so the consumed RNG stream is identical
+    to the per-step loop's and the two modes replay each other exactly."""
+    cols = [draw_vectors(rng, n_rows, n_rows, remix_p, gain_lo, gain_hi)
+            for _ in range(n_steps)]
+    return (np.stack([c[0] for c in cols]),
+            np.stack([c[1] for c in cols]),
+            np.stack([c[2] for c in cols]))
+
+
 def apply_remix(batch: Dict[str, jax.Array], perm: jax.Array,
                 g_voc: jax.Array, g_acc: jax.Array) -> Dict[str, jax.Array]:
     """The jitted row-local remix: batch planes -> batch planes.
@@ -164,6 +180,16 @@ class Augmenter:
         crop sampler, which consumes the bare ``epoch_seed``)."""
         self._rng = np.random.default_rng(epoch_seed * 1_000_003 + 17)
         return self
+
+    def epoch_vectors(self, n_steps: int, n_rows: int
+                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Stacked ``(n_steps, n_rows)`` draws for the scanned-epoch path
+        (:func:`draw_epoch`); consumes the epoch generator exactly as
+        ``n_steps`` full-batch ``__call__`` draws would, so a ragged-tail
+        ``__call__`` afterwards continues the identical stream."""
+        assert self._rng is not None, "call for_epoch(seed) first"
+        return draw_epoch(self._rng, n_steps, n_rows, self.remix_p,
+                          self.gain_lo, self.gain_hi)
 
     def __call__(self, batch: Dict[str, jax.Array],
                  n_real: Optional[int] = None) -> Dict[str, jax.Array]:

@@ -125,8 +125,8 @@ class TrainOptions:
     # INTENTIONAL EXTENSION — the reference has none (train.py:119-135);
     # off by default so the reference recipe reproduces exactly.
     # Single-process only (partners are drawn within the local batch);
-    # composes with mesh-free / dp / zero1 / fsdp / tp / cp / pp and the
-    # device-resident dataset, not with epoch_scan (per-step host vectors).
+    # composes with mesh-free / dp / zero1 / fsdp / tp / cp / pp, the
+    # device-resident dataset, and epoch_scan (stacked per-epoch vectors).
     augment: bool = False
     remix_p: float = 0.5       # probability a row's vocal is swapped
     aug_gain_lo: float = 0.25  # per-source gain range U[lo, hi]
@@ -490,7 +490,8 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
                 "(device_data='on'/'auto' with the dataset under the HBM "
                 "cap; not cp/tp/zero1/fsdp)")
         from svs_tpu.train.scan import make_epoch_scan
-        epoch_fn = make_epoch_scan(cfg, optimizer, mesh=train_ds.mesh)
+        epoch_fn = make_epoch_scan(cfg, optimizer, mesh=train_ds.mesh,
+                                   augment=opts.augment)
 
     augmenter = None
     if opts.augment:
@@ -500,11 +501,6 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
                 "the local batch, and multi-host batches assemble per-host "
                 "rows (hosts shard songs, so cross-host partners would need "
                 "a global draw this build doesn't do)")
-        if opts.epoch_scan:
-            raise ValueError(
-                "augment does not compose with epoch_scan: augmentation "
-                "vectors are drawn host-side per step and the scanned "
-                "epoch has no per-step host boundary")
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from svs_tpu.data.augment import Augmenter
@@ -642,9 +638,17 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
                 songs_a, starts_a, tail = dd.epoch_index_arrays(
                     train_ds.host, local_bs, shuffle=True, seed=epoch_seed,
                     n_steps=train_steps)
+                aug_args = ()
+                if augmenter is not None:
+                    # stacked per-epoch draw, scanned alongside the crop
+                    # indices — still one dispatch + one loss fetch/epoch
+                    augmenter.for_epoch(epoch_seed)
+                    aug_args = augmenter.epoch_vectors(len(songs_a),
+                                                       local_bs)
                 if len(songs_a):
                     state, rng, loss_vec = epoch_fn(
-                        state, train_ds.planes, songs_a, starts_a, rng)
+                        state, train_ds.planes, songs_a, starts_a, rng,
+                        *aug_args)
                     # the stacked vector IS the single epoch fetch — no
                     # per-scalar slicing
                     losses = np.asarray(jax.device_get(loss_vec)).tolist()
@@ -653,6 +657,11 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
                     tail_batch = (train_ds.gather(tail[0], tail[1])
                                   if train_ds.mesh is None else
                                   train_ds.gather_mesh(tail[0], tail[1]))
+                    if augmenter is not None:
+                        # the epoch generator continues past the stacked
+                        # draws, exactly as the per-step path would
+                        tail_batch = augmenter(tail_batch,
+                                               n_real=len(tail[0]))
                     state, aux = train_step(state, tail_batch, sub)
                     losses.append(aux["total"])
             else:

@@ -42,9 +42,17 @@ from svs_tpu.utils.config import SVSConfig
 
 def make_epoch_scan(cfg: Optional[SVSConfig] = None,
                     optimizer: Optional[optax.GradientTransformation] = None,
-                    mesh=None, axis_name: str = "data"):
+                    mesh=None, axis_name: str = "data",
+                    augment: bool = False):
     """Returns jitted ``epoch(state, planes, songs, starts, rng) ->
     (state, rng, losses)``.
+
+    ``augment``: the remix-augmentation variant — the epoch function takes
+    three extra ``(n_steps, B)`` stacked vectors (``perm, g_voc, g_acc``
+    from ``Augmenter.epoch_vectors``) scanned alongside the crop indices,
+    and each in-scan batch goes through ``apply_remix`` between the gather
+    and the step.  The host still pays ONE dispatch per epoch; randomness
+    stays host-drawn (the program is RNG-free, as in the per-step path).
 
     songs/starts: (n_steps, B) int32 — the stacked epoch index stream
     (``device_data.epoch_index_arrays``).  ``rng`` is carried through the
@@ -70,18 +78,23 @@ def make_epoch_scan(cfg: Optional[SVSConfig] = None,
     step_fn = make_step_fn(cfg, optimizer)
     input_len = cfg.input_len
 
+    if augment:
+        from svs_tpu.data.augment import apply_remix
+
     if mesh is None:
-        def epoch(state, planes, songs, starts, rng):
+        def epoch(state, planes, songs, starts, rng, *aug):
             def body(carry, xs):
                 state, rng = carry
-                s, st = xs
+                s, st = xs[:2]
                 rng, sub = jax.random.split(rng)
                 batch = gather_crops(planes, s, st, input_len)
+                if augment:
+                    batch = apply_remix(batch, *xs[2:])
                 state, aux = step_fn(state, batch, sub)
                 return (state, rng), aux["total"]
 
             (state, rng), losses = lax.scan(body, (state, rng),
-                                            (songs, starts))
+                                            (songs, starts) + aug)
             return state, rng, losses
 
         return jax.jit(epoch, donate_argnums=(0,))
@@ -95,7 +108,7 @@ def make_epoch_scan(cfg: Optional[SVSConfig] = None,
     bsh = NamedSharding(mesh, P(axis_name))
     rep = NamedSharding(mesh, P())
 
-    def epoch(state, planes, songs, starts, rng):
+    def epoch(state, planes, songs, starts, rng, *aug):
         b = songs.shape[1]
         padded = -(-b // n_dev) * n_dev
         weight = jnp.concatenate([jnp.ones(b, jnp.float32),
@@ -103,7 +116,7 @@ def make_epoch_scan(cfg: Optional[SVSConfig] = None,
 
         def body(carry, xs):
             state, rng = carry
-            s, st = xs
+            s, st = xs[:2]
             rng, sub = jax.random.split(rng)
             # pad indices with (song 0, start 0): the weight multiply in
             # the gather zeroes those rows exactly (device_data policy)
@@ -113,12 +126,23 @@ def make_epoch_scan(cfg: Optional[SVSConfig] = None,
                                      input_len=input_len)
             batch = jax.lax.with_sharding_constraint(
                 batch, {k: bsh for k in batch})
+            if augment:
+                # pad rows get identity perm + unit gains, so they stay
+                # BITWISE zero through apply_remix (augment.py invariant)
+                perm = jnp.concatenate([xs[2],
+                                        jnp.arange(b, padded, dtype=jnp.int32)])
+                ones = jnp.ones(padded - b, jnp.float32)
+                batch = apply_remix(batch, perm,
+                                    jnp.concatenate([xs[3], ones]),
+                                    jnp.concatenate([xs[4], ones]))
             state, aux = step_fn(state, batch, sub)
             return (state, rng), aux["total"]
 
-        (state, rng), losses = lax.scan(body, (state, rng), (songs, starts))
+        (state, rng), losses = lax.scan(body, (state, rng),
+                                        (songs, starts) + aug)
         return state, rng, losses
 
+    n_in = 8 if augment else 5
     return jax.jit(epoch, donate_argnums=(0,),
-                   in_shardings=(rep, rep, rep, rep, rep),
+                   in_shardings=(rep,) * n_in,
                    out_shardings=(rep, rep, rep))
