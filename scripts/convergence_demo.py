@@ -13,7 +13,8 @@ Optional tokens (any order): a compute dtype ("float32" / "bfloat16") —
 used for the bf16-as-default A/B gate (VERDICT r2 next #2); "remat" to
 turn on backward-pass rematerialisation; "augment" to enable the
 on-device remix augmentation (data/augment.py) — used for the
-augmentation-effect A/B (round 4).
+augmentation-effect A/B (round 4); "scan" for the whole-epoch-in-one-jit
+path (train/scan.py).
 
 The songs are constructed so separation is learnable but not trivial:
 vocals are vibrato'd harmonic stacks with onsets/offsets, accompaniment is
@@ -132,6 +133,7 @@ def main():
     from svs_tpu.utils.config import get_config
     cfg = get_config("default")  # the SHIPPED config (bf16 since round 3)
     augment = False
+    epoch_scan = False
     for tok in sys.argv[3:]:
         if tok in ("float32", "bfloat16"):
             cfg = dataclasses.replace(cfg, compute_dtype=tok)
@@ -139,9 +141,12 @@ def main():
             cfg = dataclasses.replace(cfg, remat=True)
         elif tok == "augment":
             augment = True
+        elif tok == "scan":
+            epoch_scan = True
         elif tok:
             raise SystemExit(f"unknown token {tok!r} "
-                             "(expected a dtype, 'remat' or 'augment')")
+                             "(expected a dtype, 'remat', 'augment' or "
+                             "'scan')")
     os.makedirs(work, exist_ok=True)
 
     prep_splits(work, cfg)
@@ -161,7 +166,7 @@ def main():
         ckpt_dir=os.path.join(work, "CKPT"), log_dir=os.path.join(work, "LOG"),
         load_path=os.path.join(work, "none"), progress=False,
         async_save=True, save_every=10, export_pth=True, seed=0,
-        augment=augment,
+        augment=augment, epoch_scan=epoch_scan,
     ), cfg)
     train_wall = time.perf_counter() - t0
     steps = int(state.step)
@@ -174,7 +179,7 @@ def main():
 
     results = {"epochs": epochs, "steps": steps,
                "compute_dtype": cfg.compute_dtype, "remat": cfg.remat,
-               "augment": augment,
+               "augment": augment, "epoch_scan": epoch_scan,
                "train_wall_s": round(train_wall, 1),
                "steps_per_sec_incl_host": round(steps / train_wall, 1),
                "loss_first": train_losses[0], "loss_last": train_losses[-1],

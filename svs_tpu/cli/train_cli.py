@@ -128,7 +128,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="on-device remix augmentation: random source gains "
                         "+ cross-song vocal remixing, exact via STFT "
                         "linearity (extension — the reference recipe has "
-                        "no augmentation; single-process)")
+                        "no augmentation)")
     p.add_argument("--remix_p", type=float, default=0.5, metavar="P",
                    help="with --augment: probability a row's vocal is "
                         "swapped for another row's (default 0.5)")

@@ -155,10 +155,25 @@ class Augmenter:
     the jitted transform; ``__call__`` draws the step's vectors and applies
     the program.  ``out_shardings`` (mesh runs) keeps the outputs in the
     batch's own layout so the train step's expectations are unchanged.
+
+    ``host=True`` is the multi-host mode: ``__call__`` applies the numpy
+    oracle (:func:`apply_remix_np`) to a HOST-side batch instead of the
+    jitted program — the loop runs it on each host's local rows BEFORE
+    ``multihost.global_batch_from_local`` assembles/pads the global array,
+    so remix partners are drawn within the host's own rows (hosts shard the
+    songs anyway), no cross-host draw or collective is needed, and the
+    zero-weight pad rows are created *after* the transform (the bitwise pad
+    invariant holds by construction).  Each host seeds its epoch generator
+    with its own host-mixed epoch seed — augmentation independence across
+    hosts is a feature (more remix diversity), not a parity concern; in
+    multi-host CP, where every host feeds the identical whole batch, the
+    host-independent epoch seed makes every host draw identically, keeping
+    the cross-host same-value contract.
     """
 
     def __init__(self, remix_p: float = 0.5, gain_lo: float = 0.25,
-                 gain_hi: float = 1.25, out_shardings=None):
+                 gain_hi: float = 1.25, out_shardings=None,
+                 host: bool = False):
         if not (0.0 <= remix_p <= 1.0):
             raise ValueError(f"remix_p must be in [0, 1], got {remix_p}")
         if not (0.0 < gain_lo <= gain_hi):
@@ -168,11 +183,15 @@ class Augmenter:
         self.gain_lo = float(gain_lo)
         self.gain_hi = float(gain_hi)
         self._rng: Optional[np.random.Generator] = None
-        kw = {}
-        if out_shardings is not None:
-            # plane shardings only; the vectors stay replicated/committed
-            kw["out_shardings"] = out_shardings
-        self._fn = jax.jit(apply_remix, **kw)
+        self.host = bool(host)
+        if self.host:
+            self._fn = None
+        else:
+            kw = {}
+            if out_shardings is not None:
+                # plane shardings only; the vectors stay replicated/committed
+                kw["out_shardings"] = out_shardings
+            self._fn = jax.jit(apply_remix, **kw)
 
     def for_epoch(self, epoch_seed: int) -> "Augmenter":
         """Arm the instance for one epoch: a fresh generator at a seed
@@ -206,5 +225,7 @@ class Augmenter:
         perm, g_voc, g_acc = draw_vectors(
             self._rng, n_real, n_rows, self.remix_p, self.gain_lo,
             self.gain_hi)
+        if self.host:
+            return apply_remix_np(batch, perm, g_voc, g_acc)
         return self._fn(batch, jnp.asarray(perm), jnp.asarray(g_voc),
                         jnp.asarray(g_acc))

@@ -124,9 +124,9 @@ class TrainOptions:
     # cross-song vocal/accompaniment remixing, exact by STFT linearity.
     # INTENTIONAL EXTENSION — the reference has none (train.py:119-135);
     # off by default so the reference recipe reproduces exactly.
-    # Single-process only (partners are drawn within the local batch);
-    # composes with mesh-free / dp / zero1 / fsdp / tp / cp / pp, the
-    # device-resident dataset, and epoch_scan (stacked per-epoch vectors).
+    # Composes with every layout: mesh-free / dp / zero1 / fsdp / tp / cp /
+    # pp, the device-resident dataset, epoch_scan (stacked per-epoch
+    # vectors), and multi-host (numpy transform on each host's local rows).
     augment: bool = False
     remix_p: float = 0.5       # probability a row's vocal is swapped
     aug_gain_lo: float = 0.25  # per-source gain range U[lo, hi]
@@ -423,7 +423,15 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
                 # arrive pre-assembled/globally-sharded; cap gates on the
                 # PER-DEVICE footprint.  Validation keeps the host pipeline
                 # (every host iterates the same global sequence).
-                if opts.device_data != "off":
+                if opts.augment and opts.device_data != "off":
+                    # multi-host augment is the host-side numpy transform
+                    # on each host's local rows (data/augment.py host mode)
+                    # — it needs host batches, so the device-resident
+                    # multi-host dataset stays off for this run
+                    if is_primary and opts.device_data == "on":
+                        print("[svs-tpu] augment + multi-host keeps the "
+                              "host input pipeline (device_data ignored)")
+                elif opts.device_data != "off":
                     from svs_tpu.data import device_data as _dd
                     per_dev = _dd.resident_bytes(train_ds)
                     if (opts.device_data == "on"
@@ -495,34 +503,38 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
 
     augmenter = None
     if opts.augment:
-        if pc > 1:
-            raise ValueError(
-                "augment is single-process: remix partners are drawn within "
-                "the local batch, and multi-host batches assemble per-host "
-                "rows (hosts shard songs, so cross-host partners would need "
-                "a global draw this build doesn't do)")
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from svs_tpu.data.augment import Augmenter
 
-        # apply_remix runs AFTER put(), so its outputs must land in the
-        # exact batch layout each train step's in_shardings pin
-        aug_sh = None
-        if opts.mesh is not None:
-            if opts.parallel == "cp":
-                tsh = NamedSharding(opts.mesh, P(None, None, "data"))
-                aug_sh = {k: tsh for k in
-                          ("mix", "mix_angle", "voc", "voc_angle")}
-                aug_sh["weight"] = NamedSharding(opts.mesh, P())
-            elif opts.parallel == "pp":
-                aug_sh = NamedSharding(opts.mesh, P())  # replicated batch
-            elif opts.parallel == "tp":
-                spec = P("data") if "data" in opts.mesh.axis_names else P()
-                aug_sh = NamedSharding(opts.mesh, spec)
-            else:  # dp / zero1 / fsdp: batch (incl. weight) shards on dim 0
-                aug_sh = NamedSharding(opts.mesh, P("data"))
-        augmenter = Augmenter(opts.remix_p, opts.aug_gain_lo,
-                              opts.aug_gain_hi, out_shardings=aug_sh)
+        if pc > 1:
+            # multi-host: the numpy oracle on each host's LOCAL rows,
+            # BEFORE the global assembly pads them — partners stay within
+            # the host's own rows (hosts shard the songs anyway), no
+            # cross-host draw needed.  In CP mode the host-independent
+            # epoch seed makes every host draw identically, preserving the
+            # cross-host same-value batch contract.
+            augmenter = Augmenter(opts.remix_p, opts.aug_gain_lo,
+                                  opts.aug_gain_hi, host=True)
+        else:
+            # apply_remix runs AFTER put(), so its outputs must land in the
+            # exact batch layout each train step's in_shardings pin
+            aug_sh = None
+            if opts.mesh is not None:
+                if opts.parallel == "cp":
+                    tsh = NamedSharding(opts.mesh, P(None, None, "data"))
+                    aug_sh = {k: tsh for k in
+                              ("mix", "mix_angle", "voc", "voc_angle")}
+                    aug_sh["weight"] = NamedSharding(opts.mesh, P())
+                elif opts.parallel == "pp":
+                    aug_sh = NamedSharding(opts.mesh, P())  # replicated batch
+                elif opts.parallel == "tp":
+                    spec = P("data") if "data" in opts.mesh.axis_names else P()
+                    aug_sh = NamedSharding(opts.mesh, spec)
+                else:  # dp / zero1 / fsdp: batch (incl. weight) shards on dim 0
+                    aug_sh = NamedSharding(opts.mesh, P("data"))
+            augmenter = Augmenter(opts.remix_p, opts.aug_gain_lo,
+                                  opts.aug_gain_hi, out_shardings=aug_sh)
 
     val_batch_kwargs = {}
     if dd is not None:
@@ -682,8 +694,12 @@ def fit(opts: TrainOptions, cfg: Optional[SVSConfig] = None) -> TrainState:
                     n_items = len(train_ds)
                 for i, batch in enumerate(batches):
                     rng, sub = jax.random.split(rng)
+                    if augmenter is not None and augmenter.host:
+                        # multi-host: numpy transform on the local rows
+                        # (all real — put() pads afterwards)
+                        batch = augmenter(batch)
                     b = put(batch)
-                    if augmenter is not None:
+                    if augmenter is not None and not augmenter.host:
                         # real-row count from the loop's own schedule (all
                         # batches full except the known ragged tail) — never
                         # fetched from the device weight vector (~40 ms RTT)

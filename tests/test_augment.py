@@ -201,6 +201,20 @@ def test_fit_with_augment_dp_mesh(tmp_path):
     assert all(np.isfinite(float(x)) for x in log)
 
 
+def test_host_mode_matches_device_mode():
+    """Augmenter(host=True) applies the numpy oracle with the SAME epoch
+    generator as the jitted device mode — same draws, values to the float
+    tolerance of the two implementations (multi-host path, loop.py)."""
+    rng = np.random.default_rng(5)
+    batch = _batch(rng, b=6)
+    dev = Augmenter(remix_p=0.8).for_epoch(3)(batch)
+    hst = Augmenter(remix_p=0.8, host=True).for_epoch(3)(batch)
+    for k in dev:
+        assert isinstance(hst[k], np.ndarray), k
+        np.testing.assert_allclose(np.asarray(dev[k]), hst[k],
+                                   rtol=2e-5, atol=2e-5, err_msg=k)
+
+
 def _train_losses(log_path):
     out = []
     with open(log_path) as f:

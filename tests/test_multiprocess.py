@@ -206,6 +206,41 @@ def test_two_process_fit_remainder_async(tmp_path):
     assert all(np.isfinite(float(l.split()[1])) for l in val_lines)
 
 
+def test_two_process_augment_fit(tmp_path):
+    """Multi-host --augment: each host applies the numpy remix oracle to
+    its LOCAL rows before global assembly (loop.py host-mode Augmenter) —
+    fit() runs in lockstep with finite losses and uneven song shards, and
+    the zero-weight padded rows are created after the transform so the pad
+    invariant holds by construction."""
+    train_dir = str(tmp_path / "train")
+    _make_spec_dataset(train_dir, n_songs=3)  # uneven shard: 2 vs 1 songs
+    script = _PREAMBLE.format(port=_free_port()) + textwrap.dedent("""
+    from svs_tpu.parallel import mesh as mesh_lib
+    from svs_tpu.train.loop import TrainOptions, fit
+    from svs_tpu.utils.config import SVSConfig
+
+    mesh = mesh_lib.make_mesh()
+    state = fit(TrainOptions(
+        train_folder={train_dir!r}, valid_folder={train_dir!r},
+        label="maug", epoch=2, batch_size=5, val_interval=1,
+        ckpt_dir="CKPT", log_dir="LOG",
+        load_path="none", progress=False, mesh=mesh,
+        augment=True, remix_p=0.8,
+    ), SVSConfig(samples_per_song=2, input_len=64, dropout_rate=0.0))
+    print(f"DONE pid={{pid}} step={{int(state.step)}}")
+    """.format(train_dir=train_dir))
+    outs = _run_pair(script, tmp_path, timeout=900)
+
+    steps = sorted(line for out in outs for line in out.splitlines()
+                   if line.startswith("DONE"))
+    assert len(steps) == 2
+    assert steps[0].split("step=")[1] == steps[1].split("step=")[1]
+    log = open(str(tmp_path / "LOG" / "log_maug.txt")).read().splitlines()
+    train_lines = [l for l in log if l.strip() and not l.startswith("Val")]
+    assert len(train_lines) == 2
+    assert all(np.isfinite(float(l)) for l in train_lines)
+
+
 def test_two_process_device_data_matches_host_pipeline(tmp_path):
     """Multi-host device-resident data (MultiHostDeviceDataset): the
     per-device gathered + assembled global batches equal the host
