@@ -83,6 +83,14 @@ def draw_epoch(rng: np.random.Generator, n_steps: int, n_rows: int,
     full (the ragged tail runs through the per-step program, which draws
     NEXT from the same generator), so the consumed RNG stream is identical
     to the per-step loop's and the two modes replay each other exactly."""
+    if n_steps == 0:
+        # datasets smaller than one batch: everything lands in the ragged
+        # tail, which draws next from the same generator — an empty stack
+        # here keeps the RNG stream identical to the per-step loop's
+        # (mirrors epoch_index_arrays' empty-songs handling)
+        return (np.zeros((0, n_rows), np.int32),
+                np.zeros((0, n_rows), np.float32),
+                np.zeros((0, n_rows), np.float32))
     cols = [draw_vectors(rng, n_rows, n_rows, remix_p, gain_lo, gain_hi)
             for _ in range(n_steps)]
     return (np.stack([c[0] for c in cols]),
@@ -206,7 +214,8 @@ class Augmenter:
         (:func:`draw_epoch`); consumes the epoch generator exactly as
         ``n_steps`` full-batch ``__call__`` draws would, so a ragged-tail
         ``__call__`` afterwards continues the identical stream."""
-        assert self._rng is not None, "call for_epoch(seed) first"
+        if self._rng is None:
+            raise RuntimeError("call for_epoch(seed) first")
         return draw_epoch(self._rng, n_steps, n_rows, self.remix_p,
                           self.gain_lo, self.gain_hi)
 
@@ -217,11 +226,17 @@ class Augmenter:
         tail) — NEVER derived from the device weight vector, which would
         cost a device->host fetch per step (~40 ms RTT on tunnelled rigs).
         ``None`` (tests/ad-hoc) means every row is real."""
-        assert self._rng is not None, "call for_epoch(seed) first"
+        if self._rng is None:
+            raise RuntimeError("call for_epoch(seed) first")
         n_rows = int(batch["mix"].shape[0])
         if n_real is None:
             n_real = n_rows
-        assert 0 < n_real <= n_rows, (n_real, n_rows)
+        if not (0 < n_real <= n_rows):
+            # hard error (not assert): under `python -O` a silent
+            # out-of-range n_real would let jnp.take's clip mode produce
+            # wrong data instead of failing
+            raise ValueError(
+                f"n_real must be in (0, n_rows={n_rows}], got {n_real}")
         perm, g_voc, g_acc = draw_vectors(
             self._rng, n_real, n_rows, self.remix_p, self.gain_lo,
             self.gain_hi)

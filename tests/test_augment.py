@@ -318,3 +318,60 @@ def test_fit_augment_epoch_scan_matches_per_step(tmp_path, use_mesh):
               / sum(a.size for a, _ in leaves))
     assert max_d <= 4 * 2.1 * lr, max_d
     assert mean_d < 4e-4, mean_d
+
+
+def test_draw_epoch_zero_steps_is_empty_and_stream_neutral():
+    """ADVICE r4: datasets smaller than one batch put every item in the
+    ragged tail, so draw_epoch(n_steps=0) must return empty (0, n_rows)
+    stacks (not crash in np.stack) AND consume no RNG — the tail draw is
+    then the generator's first draw, matching the per-step path."""
+    from svs_tpu.data.augment import draw_epoch, draw_vectors
+    rng = np.random.default_rng(7)
+    perm, gv, ga = draw_epoch(rng, 0, 8, 0.5, 0.25, 1.25)
+    assert perm.shape == (0, 8) and gv.shape == (0, 8) and ga.shape == (0, 8)
+    assert perm.dtype == np.int32 and gv.dtype == np.float32
+    # stream-neutral: next draw equals a fresh generator's first draw
+    got = draw_vectors(rng, 3, 8, 0.5, 0.25, 1.25)
+    want = draw_vectors(np.random.default_rng(7), 3, 8, 0.5, 0.25, 1.25)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+
+
+def test_fit_augment_epoch_scan_smaller_than_batch(tmp_path):
+    """ADVICE r4 repro: 3 items / batch_size 8 with device_data='on',
+    epoch_scan=True, augment=True — zero full batches, everything in the
+    ragged tail.  Must train, not crash in epoch_vectors."""
+    from svs_tpu.train.loop import TrainOptions, fit
+    from svs_tpu.utils.config import SVSConfig
+    train_dir = str(tmp_path / "train")
+    _make_spec_dataset(train_dir)
+    cfg = SVSConfig(samples_per_song=1, input_len=64)
+    opts = TrainOptions(
+        train_folder=train_dir, valid_folder=str(tmp_path / "novalid"),
+        label="tiny", epoch=2, batch_size=8, progress=False,
+        ckpt_dir=str(tmp_path / "CKPT"), log_dir=str(tmp_path / "LOG"),
+        load_path=str(tmp_path / "none.ckpt"),
+        device_data="on", epoch_scan=True, augment=True,
+    )
+    state = fit(opts, cfg)
+    assert int(state.step) == 2  # 1 ragged-tail step per epoch
+    log = open(os.path.join(opts.log_dir, "log_tiny.txt")).read().splitlines()
+    assert len(log) == 2 and all(np.isfinite(float(x)) for x in log)
+
+
+def test_augmenter_rejects_bad_n_real_and_unarmed():
+    """ADVICE r4: invariant violations raise (ValueError/RuntimeError),
+    never assert — `python -O` must not turn them into silent wrong data."""
+    from svs_tpu.data.augment import Augmenter
+    batch = {k: jnp.zeros((4, 8, 8), jnp.float32)
+             for k in ("mix", "voc", "mix_angle", "voc_angle")}
+    aug = Augmenter()
+    with pytest.raises(RuntimeError):
+        aug(batch)  # not armed
+    with pytest.raises(RuntimeError):
+        aug.epoch_vectors(1, 4)
+    aug.for_epoch(0)
+    with pytest.raises(ValueError):
+        aug(batch, n_real=0)
+    with pytest.raises(ValueError):
+        aug(batch, n_real=5)
