@@ -71,13 +71,79 @@ def _music_fixture(n: int, sample_rate: int, seed: int = 0,
     return y
 
 
+def hbm_bandwidth_bench(mib: int = 256, reps: int = 50) -> Optional[float]:
+    """Same-moment HBM bandwidth calibration (VERDICT r4 weak #4): time a
+    jitted elementwise scale over a ``mib``-MiB f32 buffer (reads + writes =
+    2x bytes) with the rig-honest fetch barrier.  Returns GiB/s, or None if
+    the device is unreachable.  This is the denominator for the train step's
+    bandwidth-bound floor, measured in the SAME session as the step itself
+    so the gap-to-floor is attributable inside the artifact."""
+    import jax
+    import jax.numpy as jnp
+
+    from svs_tpu.utils.profiling import fetch_barrier
+
+    n = mib * (1 << 20) // 4
+    x = jax.device_put(np.ones((n,), np.float32))
+    f = jax.jit(lambda a: a * np.float32(1.0000001))
+    y = f(x)
+    fetch_barrier(y)  # compile + warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            y = f(y)
+        fetch_barrier(y)
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return (2 * n * 4) / best / (1 << 30)
+
+
+def link_bandwidth_bench(mib: int = 16, reps: int = 5) -> Dict:
+    """Same-moment host<->device link calibration (VERDICT r4 weak #7):
+    timed H2D ``device_put`` and D2H ``np.asarray`` of a ``mib``-MiB f32
+    buffer.  ``stream_frames_per_sec`` swings ~3x round-over-round on
+    tunnelled rigs; these fields let the artifact itself attribute the swing
+    to link weather (stream is ~100:1 link-bound, ROUND_NOTES r2)."""
+    import jax
+
+    x = np.ones((mib * (1 << 20) // 4,), np.float32)
+    dev = jax.device_put(x)
+    np.asarray(dev)  # warm both directions
+    h2d = d2h = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        d = jax.device_put(x)
+        d.block_until_ready()
+        # block_until_ready is not a real barrier on axon (see CLAUDE.md);
+        # a 1-element fetch forces completion of the enqueue without
+        # re-reading the whole buffer
+        float(d[0])
+        h2d = min(h2d, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        np.asarray(d)
+        d2h = min(d2h, time.perf_counter() - t0)
+    return {
+        "link_h2d_mib_per_sec": round(mib / h2d, 1),
+        "link_d2h_mib_per_sec": round(mib / d2h, 1),
+        "link_probe_mib": mib,
+    }
+
+
 def train_step_bench(cfg=None, batch_size: int = 32, steps: int = 100,
-                     seed: int = 0) -> Dict:
+                     seed: int = 0, hbm_gibps: Optional[float] = None) -> Dict:
     """Single-chip training-step throughput at the documented batch size
     (reference train.py:396 uses B=32): ms/step, steps/s, and MFU against the
     chip's bf16 peak (BASELINE.json config #4 'train-step parity/throughput').
     Fixed pre-staged batch + fixed RNG: measures the STEP only (the epoch
-    bench below covers the input pipeline)."""
+    bench below covers the input pipeline).
+
+    With ``hbm_gibps`` (same-session :func:`hbm_bandwidth_bench` result) the
+    line also carries the step's bandwidth-bound FLOOR: XLA's own
+    bytes-accessed cost model / measured HBM bandwidth -> ``train_step_floor_ms``
+    and ``train_mfu_achievable_pct`` (the MFU the step would hit AT that
+    floor).  The step is memory-bound (ROUND_NOTES r2-r4 roofline argument,
+    three measured negative Pallas results); these fields track the
+    gap-to-floor per round instead of re-litigating it in prose."""
     import jax
 
     from svs_tpu.train.step import create_train_state, make_train_step
@@ -102,9 +168,11 @@ def train_step_bench(cfg=None, batch_size: int = 32, steps: int = 100,
     # update) AND runs the timed steps — no second jit compilation.
     key = jax.random.key(2)
     compiled = step.lower(state, batch, key).compile()
+    bytes_per_step = None
     try:
         cost = compiled.cost_analysis()
         flops_per_step = float(cost.get("flops", 0.0)) or None
+        bytes_per_step = float(cost.get("bytes accessed", 0.0)) or None
     except Exception:
         flops_per_step = None
     step = compiled
@@ -129,7 +197,7 @@ def train_step_bench(cfg=None, batch_size: int = 32, steps: int = 100,
     peak = _device_peak_flops()
     mfu = (flops_per_step / best / peak * 100.0
            if flops_per_step and peak else None)
-    return {
+    out = {
         "train_step_ms": round(best * 1e3, 2),
         "train_steps_per_sec": round(1.0 / best, 2),
         "train_batch": batch_size,
@@ -137,6 +205,17 @@ def train_step_bench(cfg=None, batch_size: int = 32, steps: int = 100,
         "train_flops_per_step": flops_per_step,
         "train_mfu_pct": round(mfu, 2) if mfu is not None else None,
     }
+    if bytes_per_step:
+        out["train_bytes_per_step"] = bytes_per_step
+        if hbm_gibps:
+            floor = bytes_per_step / (hbm_gibps * (1 << 30))
+            out["train_hbm_gibps"] = round(hbm_gibps, 1)
+            out["train_step_floor_ms"] = round(floor * 1e3, 2)
+            out["train_step_vs_floor"] = round(best / floor, 2)
+            if flops_per_step and peak:
+                out["train_mfu_achievable_pct"] = round(
+                    flops_per_step / floor / peak * 100.0, 2)
+    return out
 
 
 def decode_device_bench(params=None, bn_state=None, cfg=None,
@@ -356,9 +435,20 @@ def run_bench(secs: float = 240.0, reps: int = 8, seed: int = 0,
         "stream_realtime_x": round(secs / elapsed, 0),
         "stream_io": "pcm16" if pcm16 else "f32",
     }
+    # same-moment link calibration so the artifact itself can attribute
+    # stream_frames_per_sec swings to link weather (VERDICT r4 weak #7)
+    try:
+        result.update(link_bandwidth_bench())
+    except Exception as e:
+        result["link_bench_error"] = repr(e)
     if train:
+        hbm = None
         try:
-            result.update(train_step_bench(cfg))
+            hbm = hbm_bandwidth_bench()
+        except Exception as e:
+            result["hbm_bench_error"] = repr(e)
+        try:
+            result.update(train_step_bench(cfg, hbm_gibps=hbm))
         except Exception as e:  # the headline metric must survive regardless
             result["train_bench_error"] = repr(e)
         try:
