@@ -57,6 +57,10 @@ def main(argv=None) -> int:
                   warmup_secs=args.warmup_secs)
     print(f"serving on http://{args.host}:{args.port} "
           "(POST /separate, GET /healthz)")
+
+    from svs_tpu.serve.server import install_sigterm_drain
+
+    install_sigterm_drain(httpd, drain_timeout=args.request_timeout)
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:

@@ -31,9 +31,11 @@ which contract they are running.
 
 from __future__ import annotations
 
+import collections
 import json
 import queue
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 from urllib.parse import parse_qs, urlparse
@@ -47,6 +49,21 @@ from svs_tpu.utils.config import SVSConfig
 
 class ServiceOverloaded(RuntimeError):
     """The request queue is full — the caller should retry later (HTTP 503)."""
+
+
+class ServiceDraining(RuntimeError):
+    """The service is draining for shutdown — no new work is admitted
+    (HTTP 503, no Retry-After: the process is going away)."""
+
+
+def _percentiles(samples, qs=(50, 90, 99)):
+    """{p50: ..., p90: ..., p99: ...} over a sample window (None if empty).
+    Nearest-rank on a sorted copy — 512 floats, no numpy needed."""
+    if not samples:
+        return {f"p{q}": None for q in qs}
+    s = sorted(samples)
+    return {f"p{q}": round(s[min(len(s) - 1, int(q / 100.0 * len(s)))], 4)
+            for q in qs}
 
 
 class ServiceTimeout(RuntimeError):
@@ -90,6 +107,14 @@ class SeparationService:
         self.requests_timed_out = 0
         self.batches_run = 0
         self.max_coalesced = 0
+        self._draining = False
+        # observability windows (last 512 requests): seconds a request sat
+        # queued before its drain pass picked it up, and seconds of device
+        # work attributed to it (its batch's stream-call wall / group size)
+        self.queue_wait_window: collections.deque = collections.deque(
+            maxlen=512)
+        self.device_time_window: collections.deque = collections.deque(
+            maxlen=512)
 
     def _drain(self):
         while True:
@@ -113,11 +138,16 @@ class SeparationService:
                     break
                 items.append(nxt)
 
+            now = time.perf_counter()
+            for it in items:
+                self.queue_wait_window.append(now - it[4])
+
             # group by device-call signature, preserving arrival order
             groups: dict = {}
             for it in items:
                 groups.setdefault((it[1], it[2]), []).append(it)
             for (vocal_solo, mode), grp in groups.items():
+                t0 = time.perf_counter()
                 try:
                     outs = separate.separate_wav_stream(
                         self.params, self.bn_state, [it[0] for it in grp],
@@ -127,15 +157,21 @@ class SeparationService:
                 except Exception as e:  # propagate to the request threads
                     for it in grp:
                         it[3].put(("error", str(e)))
+                per_req = (time.perf_counter() - t0) / len(grp)
+                self.device_time_window.extend([per_req] * len(grp))
             self.batches_run += 1
             self.max_coalesced = max(self.max_coalesced, len(items))
 
     def separate(self, y: np.ndarray, vocal_solo: bool = True,
                  mode: str = "segments",
                  timeout: Optional[float] = None) -> np.ndarray:
+        if self._draining:
+            self.requests_rejected += 1
+            raise ServiceDraining("service is draining; not admitting work")
         done: queue.Queue = queue.Queue(1)
         try:
-            self._q.put_nowait((y, vocal_solo, mode, done))
+            self._q.put_nowait((y, vocal_solo, mode, done,
+                                time.perf_counter()))
         except queue.Full:
             self.requests_rejected += 1
             raise ServiceOverloaded(
@@ -156,6 +192,40 @@ class SeparationService:
 
     def pending(self) -> int:
         return self._q.qsize()
+
+    def stats(self) -> dict:
+        """Observability snapshot for /healthz: counters, queue depth, and
+        queue-wait / device-time percentiles over the last 512 requests."""
+        return {
+            "requests_served": self.requests_served,
+            "requests_rejected": self.requests_rejected,
+            "requests_timed_out": self.requests_timed_out,
+            "pending": self.pending(),
+            "batches_run": self.batches_run,
+            "max_coalesced": self.max_coalesced,
+            "draining": self._draining,
+            "queue_wait_secs": _percentiles(list(self.queue_wait_window)),
+            "device_time_secs": _percentiles(list(self.device_time_window)),
+        }
+
+    def drain(self, timeout: float = 60.0) -> bool:
+        """Graceful shutdown: stop admitting (new requests fast-fail with
+        :class:`ServiceDraining` -> 503), FINISH everything already queued
+        (their handler threads get real responses), then stop the worker.
+        Returns True when the worker exited within ``timeout`` — False means
+        queued work is still running (a hung device call); the caller may
+        fall back to :meth:`shutdown`.  Idempotent with shutdown(): _stop is
+        only set after the queue empties, so items ahead of the sentinel
+        are served, FIFO."""
+        self._draining = True
+        try:
+            self._q.put(None, timeout=timeout)  # FIFO: behind queued work
+        except queue.Full:
+            return False
+        self._worker.join(timeout=timeout)
+        alive = self._worker.is_alive()
+        self._stop.set()
+        return not alive
 
     def shutdown(self):
         self._stop.set()
@@ -202,16 +272,11 @@ def make_handler(service: SeparationService,
 
         def do_GET(self):
             if urlparse(self.path).path == "/healthz":
-                self._json(200, {"status": "ok",
+                self._json(200, {"status": ("draining" if service._draining
+                                            else "ok"),
                                  "sample_rate": cfg.sample_rate,
                                  "default_mode": DEFAULT_MODE,
-                                 "requests_served": service.requests_served,
-                                 "requests_rejected": service.requests_rejected,
-                                 "requests_timed_out":
-                                     service.requests_timed_out,
-                                 "pending": service.pending(),
-                                 "batches_run": service.batches_run,
-                                 "max_coalesced": service.max_coalesced})
+                                 **service.stats()})
             else:
                 self._json(404, {"error": "unknown path"})
 
@@ -253,6 +318,8 @@ def make_handler(service: SeparationService,
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
+            except ServiceDraining as e:
+                self._json(503, {"error": str(e)})
             except ServiceOverloaded as e:
                 # back off roughly one drain's worth; the queue is bounded so
                 # pending/max_batch is a sane unit of wait
@@ -265,6 +332,29 @@ def make_handler(service: SeparationService,
                 self._json(400, {"error": str(e)})
 
     return Handler
+
+
+def install_sigterm_drain(httpd, drain_timeout: float = 60.0):
+    """Make SIGTERM (the orchestrator's stop signal) drain gracefully:
+    stop admitting (new requests 503 ServiceDraining), finish queued work
+    so in-flight handlers get real responses, then stop the accept loop.
+
+    The handler only spawns a helper thread: ``httpd.shutdown()`` called
+    from the serve_forever thread (where Python runs signal handlers)
+    would deadlock.  Returns the previous handler (tests restore it).
+    Call from the main thread (CPython delivers signals there)."""
+    import signal
+
+    def _graceful():
+        print("[svs-serve] SIGTERM: draining...", flush=True)
+        ok = httpd.service.drain(timeout=drain_timeout)
+        print(f"[svs-serve] drain {'complete' if ok else 'TIMED OUT'}; "
+              "stopping", flush=True)
+        httpd.shutdown()
+
+    return signal.signal(
+        signal.SIGTERM,
+        lambda *_: threading.Thread(target=_graceful, daemon=True).start())
 
 
 def serve(params, bn_state, cfg: Optional[SVSConfig] = None,

@@ -409,3 +409,107 @@ def test_serve_warmup_compiles_before_bind(rng):
     finally:
         httpd.service.shutdown()
         httpd.server_close()
+
+
+def test_healthz_percentiles_and_queue_depth(server_httpd, server_url, rng):
+    """VERDICT r4 next #8: /healthz carries queue depth, queue-wait and
+    device-time percentiles (p50/p90/p99 over the last 512 requests)."""
+    # ensure at least one request has flowed through this module-scoped
+    # server so the windows are non-empty
+    server_httpd.service.separate(
+        (rng.standard_normal(4096) * 0.1).astype(np.float32))
+    with urllib.request.urlopen(server_url + "/healthz", timeout=30) as r:
+        h = json.loads(r.read())
+    assert h["status"] == "ok" and h["draining"] is False
+    assert isinstance(h["pending"], int)
+    for window in ("queue_wait_secs", "device_time_secs"):
+        pcts = h[window]
+        assert set(pcts) == {"p50", "p90", "p99"}
+        assert pcts["p50"] is not None and pcts["p50"] >= 0.0
+        assert pcts["p99"] >= pcts["p50"]
+
+
+def test_sigterm_under_burst_drains_or_503s_cleanly(monkeypatch, rng):
+    """VERDICT r4 next #8: SIGTERM during a sustained burst — every queued
+    request is SERVED (drain), every post-signal request fast-fails with
+    503/connection error, and no handler thread hangs.  Exercises the real
+    signal path the CLI installs (install_sigterm_drain), over the socket."""
+    import os
+    import signal as signal_mod
+    import time
+
+    from svs_tpu.serve import server as server_mod
+
+    def slow_stream(params, bn_state, songs, **kw):
+        time.sleep(0.1)  # sustained-load stand-in for device work
+        return [np.zeros_like(y) for y in songs]
+
+    monkeypatch.setattr(server_mod.separate, "separate_wav_stream",
+                        slow_stream)
+    params, bn_state = unet.init(jax.random.key(0))
+    httpd = server_mod.serve(params, bn_state, SVSConfig(),
+                             host="127.0.0.1", port=0, max_batch=1,
+                             max_queue=64)
+    prev = server_mod.install_sigterm_drain(httpd, drain_timeout=60.0)
+    url = f"http://127.0.0.1:{httpd.server_address[1]}"
+    serve_thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    serve_thread.start()
+    body = _wav_bytes((rng.standard_normal(2048) * 0.1).astype(np.float32),
+                      8192)
+
+    outcomes = {}
+
+    def post(i):
+        req = urllib.request.Request(url + "/separate", data=body,
+                                     headers={"Content-Type": "audio/wav"})
+        try:
+            with urllib.request.urlopen(req, timeout=60) as r:
+                outcomes[i] = r.status
+        except urllib.error.HTTPError as e:
+            outcomes[i] = e.code
+        except Exception as e:  # connection refused/reset after shutdown
+            outcomes[i] = repr(e)
+
+    try:
+        # sustained burst: 8 requests against a 0.1 s/request worker
+        pre = [threading.Thread(target=post, args=(i,)) for i in range(8)]
+        for t in pre:
+            t.start()
+        # wait until the burst is genuinely in flight (some queued)
+        for _ in range(500):
+            if httpd.service.pending() >= 3:
+                break
+            time.sleep(0.01)
+        assert httpd.service.pending() >= 3
+        os.kill(os.getpid(), signal_mod.SIGTERM)
+        # post-signal stragglers while the drain is running
+        for _ in range(200):
+            if httpd.service._draining:
+                break
+            time.sleep(0.01)
+        late = [threading.Thread(target=post, args=(100 + i,))
+                for i in range(3)]
+        for t in late:
+            t.start()
+        for t in pre + late:
+            t.join(timeout=90)
+        assert not any(t.is_alive() for t in pre + late), "hung handler"
+        # every pre-signal request was served or got a clean 503 — once the
+        # drain flag is up, racing enqueues legitimately fast-fail
+        assert all(outcomes[i] in (200, 503) for i in range(8)), outcomes
+        assert sum(outcomes[i] == 200 for i in range(8)) >= 3, outcomes
+        # post-signal requests never hang: 503 while draining, or a
+        # connection error once the accept loop stopped
+        for i in (100, 101, 102):
+            assert outcomes[i] == 503 or isinstance(outcomes[i], str), outcomes
+        # the worker exited through the drain path and the loop stopped
+        for _ in range(500):
+            if not serve_thread.is_alive():
+                break
+            time.sleep(0.02)
+        assert not serve_thread.is_alive()
+        assert not httpd.service._worker.is_alive()
+    finally:
+        signal_mod.signal(signal_mod.SIGTERM, prev)
+        httpd.service.shutdown()
+        httpd.server_close()
