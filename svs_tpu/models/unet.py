@@ -254,10 +254,16 @@ def init(rng: jax.Array, cfg: Optional[SVSConfig] = None) -> Tuple[Params, State
                  var=jnp.ones((cout,), jnp.float32))
         )
 
-    # decoder in/out channels (reference model.py:79-109):
+    # decoder in/out channels (reference model.py:79-109; stock table
     # deconv1: 512->256, deconv2: 512->128, deconv3: 256->64,
-    # deconv4: 128->32, deconv5: 64->16, deconv6: 32->1
-    dec_io = [(512, 256), (512, 128), (256, 64), (128, 32), (64, 16), (32, 1)]
+    # deconv4: 128->32, deconv5: 64->16, deconv6: 32->1) — derived from
+    # enc_channels so width-scaled presets (e.g. 'wide') keep the same
+    # skip-concat structure: deconv1 takes the bottleneck alone, deconv
+    # i>1 takes [prev, enc(6-i)] concatenated (2x channels)
+    e = tuple(cfg.enc_channels)
+    dec_io = ([(e[5], e[4])]
+              + [(e[i] * 2, e[i - 1]) for i in (4, 3, 2, 1)]
+              + [(e[0] * 2, 1)])
     for i, (cin, cout) in enumerate(dec_io):
         # torch ConvTranspose2d fan_in = weight.size(1)*k*k = cout*k*k
         bound = 1.0 / (cout * k * k) ** 0.5

@@ -107,6 +107,17 @@ PRESETS = {
                        compute_dtype="bfloat16"),
     # "1209 Params" — the reference's ACTIVE preset (config.py:46-51)
     "default": SVSConfig(compute_dtype="bfloat16"),
+    # INTENTIONAL EXTENSION (no reference counterpart): the scaled-up
+    # flagship — 8x channel width (~630M params vs the stock 9.6M).  At
+    # this scale the f32 param+grad+Adam states alone are ~10 GiB, so a
+    # 16-GiB v5e cannot train it naively at batch 32 f32: remat and/or
+    # gradient accumulation are REQUIRED single-chip, and pure-DP
+    # replication wastes most of each chip — ZeRO-1/FSDP/TP stop being
+    # optional (measured table: scripts/bench_wide.py, ROUND_NOTES r5).
+    # remat ships on: measured faster AND half the activation HBM on the
+    # bandwidth-bound stock model already (see SVSConfig.remat).
+    "wide": SVSConfig(enc_channels=(128, 256, 512, 1024, 2048, 4096),
+                      compute_dtype="bfloat16", remat=True),
 }
 
 
