@@ -375,3 +375,83 @@ def test_augmenter_rejects_bad_n_real_and_unarmed():
         aug(batch, n_real=0)
     with pytest.raises(ValueError):
         aug(batch, n_real=5)
+
+
+def _row_sharded(mesh, batch_np):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    sh = NamedSharding(mesh, P("data"))
+    return {k: jax.device_put(v, sh) for k, v in batch_np.items()}
+
+
+def test_apply_sharded_matches_per_shard_oracle():
+    """Multi-host device-resident mode (apply_sharded): per-LOCAL-shard
+    remix on a row-sharded global batch == replaying the SAME RNG stream
+    shard-by-shard in row order through the numpy oracle.  Pads stay
+    bitwise zero, fully-padded shards are bitwise identity (and consume no
+    RNG), the batch layout is preserved, and weight passes through."""
+    from svs_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.make_mesh()
+    n_dev = int(mesh.devices.size)
+    q = 2
+    B = n_dev * q                       # 16 rows, 2/device
+    n_real = B - q - 1                  # last shard fully padded; the one
+    #                                     before it half real, half pad
+    rng = np.random.default_rng(5)
+    w = np.asarray([1.0] * n_real + [0.0] * (B - n_real), np.float32)
+    batch_np = _batch(rng, b=B, weight=w)
+    batch = _row_sharded(mesh, batch_np)
+
+    seed = 11
+    aug = Augmenter(remix_p=0.8).for_epoch(seed)
+    out = aug.apply_sharded(batch, n_real=n_real)
+
+    # oracle: same derived seed, same per-shard draw order
+    oracle_rng = np.random.default_rng(seed * 1_000_003 + 17)
+    planes = ("mix", "mix_angle", "voc", "voc_angle")
+    for i in range(n_dev):
+        lo, hi = i * q, (i + 1) * q
+        n_i = min(q, max(0, n_real - lo))
+        shard_in = {k: batch_np[k][lo:hi] for k in planes}
+        if n_i == 0:
+            exp = shard_in  # identity, no RNG consumed
+        else:
+            perm, gv, ga = draw_vectors(oracle_rng, n_i, q, 0.8, 0.25, 1.25)
+            exp = apply_remix_np(shard_in, perm, gv, ga)
+        for k in planes:
+            got = np.asarray(out[k])[lo:hi]
+            if n_i == 0:
+                np.testing.assert_array_equal(got, exp[k],
+                                              err_msg=f"{k} shard {i}")
+            else:
+                np.testing.assert_allclose(got, exp[k], rtol=1e-4,
+                                           atol=1e-6,
+                                           err_msg=f"{k} shard {i}")
+    # pads bitwise zero (the weighted loss/BN invariant)
+    for k in planes:
+        assert not np.any(np.asarray(out[k])[n_real:])
+    # layout preserved; weight passes through untouched
+    for k in planes:
+        assert out[k].sharding == batch[k].sharding, k
+        assert out[k].shape == batch[k].shape, k
+    assert out["weight"] is batch["weight"]
+    # the augmenter consumed EXACTLY the oracle's stream (fully-padded
+    # shards drew nothing): the next draws must agree
+    assert aug._rng.uniform() == oracle_rng.uniform()
+
+
+def test_apply_sharded_rejects_bad_n_real_and_unarmed():
+    from svs_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.make_mesh()
+    n_dev = int(mesh.devices.size)
+    rng = np.random.default_rng(0)
+    batch = _row_sharded(mesh, _batch(rng, b=n_dev))
+    aug = Augmenter()
+    with pytest.raises(RuntimeError):
+        aug.apply_sharded(batch)
+    aug.for_epoch(1)
+    with pytest.raises(ValueError):
+        aug.apply_sharded(batch, n_real=0)
+    with pytest.raises(ValueError):
+        aug.apply_sharded(batch, n_real=n_dev + 1)
