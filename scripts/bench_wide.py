@@ -32,6 +32,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import sys
 import time
 
@@ -98,6 +99,7 @@ def chip_arms(batch_size: int = 32, accum: int = 4, steps: int = 30,
 
     svs_tpu.enable_compile_cache()
     base = get_config("wide")
+    big = batch_size * 4  # the batch where naive stops fitting
     arms = [
         # (name, dtype, remat, accum_steps, micro_batch)
         ("naive_f32", "float32", False, 1, batch_size),
@@ -105,6 +107,27 @@ def chip_arms(batch_size: int = 32, accum: int = 4, steps: int = 30,
         ("remat_bf16", "bfloat16", True, 1, batch_size),
         ("accum_bf16", "bfloat16", False, accum, batch_size // accum),
         ("remat_accum_bf16", "bfloat16", True, accum, batch_size // accum),
+        # global batch 4x: naive must OOM by the compiler's own memory
+        # analysis; accum (4 microbatches) and/or remat bring it back under
+        # the ceiling — the single-chip "required, not optional" proof
+        (f"naive_bf16_B{big}", "bfloat16", False, 1, big),
+        (f"remat_bf16_B{big}", "bfloat16", True, 1, big),
+        (f"accum_bf16_B{big}", "bfloat16", False, accum, big // accum),
+        (f"remat_accum_bf16_B{big}", "bfloat16", True, accum, big // accum),
+        # global batch 8x: the first-run measurements put naive's temps at
+        # ~47.7 MiB/row (6.1 GiB at B=128), so B=256 projects past the
+        # 16-GiB ceiling — the compiler's memory analysis is the OOM proof,
+        # and accum at micro-batch 32 stays at the B=32 working set: the
+        # arm that makes accumulation REQUIRED, not optional
+        (f"naive_bf16_B{2 * big}", "bfloat16", False, 1, 2 * big),
+        (f"accum_bf16_B{2 * big}", "bfloat16", False, 2 * accum,
+         2 * big // (2 * accum)),
+        # global batch 16x: naive projects PAST the 16-GiB chip (strict
+        # compiler-proof OOM — the arm is reported, never run); accum at
+        # micro 32 still fits and runs.  Accumulation is REQUIRED here.
+        (f"naive_bf16_B{4 * big}", "bfloat16", False, 1, 4 * big),
+        (f"accum_bf16_B{4 * big}", "bfloat16", False, 4 * accum,
+         4 * big // (4 * accum)),
     ]
     results = []
     for name, dtype, remat, k, micro in arms:
@@ -116,8 +139,23 @@ def chip_arms(batch_size: int = 32, accum: int = 4, steps: int = 30,
                  for kk, v in _batch(cfg, micro).items()}
         key = jax.random.key(1)
         t0 = time.perf_counter()
-        compiled = step.lower(state, batch, key).compile()
+        try:
+            compiled = step.lower(state, batch, key).compile()
+        except Exception as e:  # compiler-refused: THE OOM proof itself
+            msg = re.search(r"Ran out of memory.*?hbm capacity by \S+", str(e))
+            row = {"arm": name, "dtype": dtype, "remat": remat, "accum": k,
+                   "micro_batch": micro, "global_batch": micro * k,
+                   "fits_v5e": False, "step_ms": None,
+                   "compile_oom": msg.group(0) if msg else str(e)[:200]}
+            del state, batch
+            results.append(row)
+            print(json.dumps(row), flush=True)
+            continue
         compile_s = time.perf_counter() - t0
+        try:
+            flops = float(compiled.cost_analysis().get("flops", 0.0)) or None
+        except Exception:
+            flops = None
         mem = compiled.memory_analysis()
         # arguments are donated into outputs for the state, so peak live =
         # max(arg, out) + temp + code; report the analysis fields raw and a
@@ -139,6 +177,7 @@ def chip_arms(batch_size: int = 32, accum: int = 4, steps: int = 30,
             "mem_projected_peak_gib": float(_fmt_gib(projected)),
             "fits_v5e": projected < V5E_HBM_GIB * 2**30,
         }
+        st = aux = None
         if projected < budget_gib * 2**30:
             st = state
             st, aux = compiled(st, batch, key)
@@ -153,6 +192,12 @@ def chip_arms(batch_size: int = 32, accum: int = 4, steps: int = 30,
             row["step_ms"] = round(best * 1e3, 2)
             # per OPTIMIZER step (k microbatches) and per global batch
             row["ms_per_global_batch"] = round(best * 1e3 * k, 2)
+            if flops:
+                from svs_tpu.utils.benchmark import _device_peak_flops
+                peak = _device_peak_flops()
+                row["tflops_per_sec"] = round(flops / best / 1e12, 2)
+                if peak:
+                    row["mfu_pct"] = round(flops / best / peak * 100, 2)
             try:
                 stats = jax.devices()[0].memory_stats() or {}
                 if "peak_bytes_in_use" in stats:
@@ -164,9 +209,10 @@ def chip_arms(batch_size: int = 32, accum: int = 4, steps: int = 30,
             row["step_ms"] = None
             row["skipped"] = (f"projected {row['mem_projected_peak_gib']} "
                               f"GiB > {budget_gib} GiB run budget")
-        # free before the next arm: drop references, let the allocator
-        # reclaim the donated chain
-        del state, batch, compiled
+        # free before the next arm: drop EVERY reference (incl. the timed
+        # loop's live state chain — `del state` alone leaked ~9 GiB and
+        # OOM'd arm 4 on the first run), let the allocator reclaim
+        del state, batch, compiled, st, aux
         results.append(row)
         print(json.dumps(row), flush=True)
     return results
@@ -276,8 +322,10 @@ def main():
               "| ms/global batch |")
         print("|---|---|---|---|---|---|")
         for r in rows:
+            peak = r.get("mem_projected_peak_gib",
+                         r.get("compile_oom", "-"))
             print(f"| {r['arm']} | {r['global_batch']} "
-                  f"| {r['mem_projected_peak_gib']} "
+                  f"| {peak} "
                   f"| {'yes' if r['fits_v5e'] else 'NO'} "
                   f"| {r.get('step_ms', '-')} "
                   f"| {r.get('ms_per_global_batch', '-')} |")

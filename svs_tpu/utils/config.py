@@ -108,16 +108,20 @@ PRESETS = {
     # "1209 Params" — the reference's ACTIVE preset (config.py:46-51)
     "default": SVSConfig(compute_dtype="bfloat16"),
     # INTENTIONAL EXTENSION (no reference counterpart): the scaled-up
-    # flagship — 8x channel width (~630M params vs the stock 9.6M).  At
-    # this scale the f32 param+grad+Adam states alone are ~10 GiB, so a
-    # 16-GiB v5e cannot train it naively at batch 32 f32: remat and/or
-    # gradient accumulation are REQUIRED single-chip, and pure-DP
-    # replication wastes most of each chip — ZeRO-1/FSDP/TP stop being
-    # optional (measured table: scripts/bench_wide.py, ROUND_NOTES r5).
-    # remat ships on: measured faster AND half the activation HBM on the
-    # bandwidth-bound stock model already (see SVSConfig.remat).
+    # flagship — 8x channel width (~630M params vs the stock 9.6M).
+    # Measured on the v5e (scripts/bench_wide.py, ROUND_NOTES r5): B=32
+    # still fits naively (9.2 GiB projected peak, 116 ms/step bf16), but
+    # the activation temps grow with batch until the compiler's own memory
+    # analysis passes the 16-GiB chip (B=256 projects 15.4 GiB = 96% HBM;
+    # B=512 projects past it) — there gradient accumulation is REQUIRED
+    # (micro-batch 32 holds a constant 11.5-GiB working set at ANY global
+    # batch), and on a mesh pure-DP replication parks 9.4 GiB of states on
+    # EVERY chip where ZeRO-1/FSDP shard them 8-way (per-device residency
+    # table, same script --mesh).  remat ships OFF here: measured at wide
+    # scale it saved almost no peak (XLA already schedules these temps)
+    # and cost 20-25% step time — the stock-geometry win did not transfer.
     "wide": SVSConfig(enc_channels=(128, 256, 512, 1024, 2048, 4096),
-                      compute_dtype="bfloat16", remat=True),
+                      compute_dtype="bfloat16"),
 }
 
 

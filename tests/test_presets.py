@@ -84,5 +84,7 @@ def test_shipped_config_policy():
     for name, cfg in PRESETS.items():
         assert cfg.compute_dtype == "bfloat16", name
     assert PRESETS["fine_tune"].remat is True
-    for name in ("low_res", "hq44k", "p1207", "default"):
+    # 'wide' ships remat OFF: measured at 628M scale it saved almost no
+    # peak HBM and cost 20-25% step time (scripts/bench_wide.py, r5)
+    for name in ("low_res", "hq44k", "p1207", "default", "wide"):
         assert PRESETS[name].remat is False, name
