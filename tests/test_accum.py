@@ -105,6 +105,7 @@ def test_lr_mutation_through_the_wrapper():
     assert get_learning_rate(st) == pytest.approx(cfg.learning_rate)
     st = set_learning_rate(st, 5e-4)
     assert get_learning_rate(st) == pytest.approx(5e-4)
+@pytest.mark.slow
 
 
 def test_fit_accum_end_to_end(tmp_path, rng):
@@ -153,6 +154,7 @@ def test_fit_accum_end_to_end(tmp_path, rng):
     # ...while a mismatched TRAIN resume fails with the actionable message
     with pytest.raises(ValueError, match="accum"):
         ckpt_lib.resume(ckpt, plain)
+@pytest.mark.slow
 
 
 def test_fit_accum_composes_with_epoch_scan(tmp_path, rng):

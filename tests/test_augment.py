@@ -176,6 +176,7 @@ def test_fit_with_augment(tmp_path):
     assert int(state.step) == 4  # 3 patches / batch 2 = 2 steps x 2 epochs
     log = open(os.path.join(opts.log_dir, "log_aug.txt")).read().splitlines()
     assert len(log) == 2 and all(np.isfinite(float(x)) for x in log)
+@pytest.mark.slow
 
 
 def test_fit_with_augment_dp_mesh(tmp_path):
@@ -224,6 +225,7 @@ def _train_losses(log_path):
     return out
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("layout", ["cp", "tp", "pp", "zero1", "fsdp"])
 def test_fit_augment_composes_with_layouts(tmp_path, layout):
     """The loop claims augment composes with every single-process layout —
@@ -270,6 +272,7 @@ def test_fit_augment_composes_with_layouts(tmp_path, layout):
     assert len(losses) == 1 and np.isfinite(losses[0])
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("use_mesh", [False, True], ids=["meshfree", "dp"])
 def test_fit_augment_epoch_scan_matches_per_step(tmp_path, use_mesh):
     """augment composes with epoch_scan: the scanned epoch consumes the
@@ -335,6 +338,7 @@ def test_draw_epoch_zero_steps_is_empty_and_stream_neutral():
     want = draw_vectors(np.random.default_rng(7), 3, 8, 0.5, 0.25, 1.25)
     for g, w in zip(got, want):
         np.testing.assert_array_equal(g, w)
+@pytest.mark.slow
 
 
 def test_fit_augment_epoch_scan_smaller_than_batch(tmp_path):

@@ -138,6 +138,7 @@ def test_tp_mesh_device_batches_match_host_distributor(ds):
     # 5 rows pad to 6 (data axis 2), NOT to 8 (total devices)
     assert dev_b[0]["mix"].shape[0] == 6
     assert np.asarray(dev_b[0]["weight"]).sum() == 5.0
+@pytest.mark.slow
 
 
 def test_fit_dp_mesh_device_equals_host(tmp_path):
@@ -170,6 +171,7 @@ def test_fit_dp_mesh_device_equals_host(tmp_path):
     for a, b in zip(jax.tree.leaves(s_host.params),
                     jax.tree.leaves(s_dev.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+@pytest.mark.slow
 
 
 def test_fit_cp_mesh_device_equals_host(tmp_path):
@@ -212,6 +214,7 @@ def test_fit_cp_mesh_device_equals_host(tmp_path):
     for a, b in zip(jax.tree.leaves(s_host.params),
                     jax.tree.leaves(s_dev.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+@pytest.mark.slow
 
 
 def test_fit_device_equals_host(tmp_path):

@@ -36,6 +36,7 @@ def _train_losses(log_path):
             if line.strip() and not line.startswith("Val"):
                 out.append(float(line.strip()))
     return out
+@pytest.mark.slow
 
 
 def test_fit_epoch_scan_matches_per_step(tmp_path):
@@ -84,6 +85,7 @@ def test_fit_epoch_scan_matches_per_step(tmp_path):
               / sum(a.size for a, _ in leaves))
     assert max_d <= 4 * 2.1 * lr, max_d
     assert mean_d < 4e-4, mean_d
+@pytest.mark.slow
 
 
 def test_fit_epoch_scan_mesh_matches_per_step(tmp_path):

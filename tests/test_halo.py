@@ -3,6 +3,7 @@ the unsharded forward on the same (long) patch — this single equivalence
 covers the halo arithmetic of all 12 conv levels."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -188,6 +189,7 @@ def test_cp_train_step_weighted_remainder(rng):
         halo.shard_batch_time(mesh, batch3), jax.random.key(1))
     np.testing.assert_allclose(float(aux3["total"]), float(aux2["total"]),
                                rtol=1e-6)
+@pytest.mark.slow
 
 
 def test_fit_cp_end_to_end(tmp_path, rng):

@@ -121,6 +121,7 @@ def _make_spec_dataset(root, n_songs=3, t=150):
             ang = rng.random((513, t)).astype(np.float32) * 6 - 3
             np.save(os.path.join(root, folder, f"{base}_phase.npy"),
                     np.exp(1j * ang).astype(np.complex64))
+@pytest.mark.slow
 
 
 def test_two_process_fit_lockstep(tmp_path):
@@ -165,6 +166,7 @@ def test_two_process_fit_lockstep(tmp_path):
     assert sum(1 for m in metrics if "val_loss" in m) == 2
     log = open(str(tmp_path / "LOG" / "log_mp.txt")).read().splitlines()
     assert sum(1 for l in log if l.startswith("Val ")) == 2
+@pytest.mark.slow
 
 
 def test_two_process_fit_remainder_async(tmp_path):
@@ -204,6 +206,7 @@ def test_two_process_fit_remainder_async(tmp_path):
     val_lines = [l for l in log if l.startswith("Val ")]
     assert len(val_lines) == 2
     assert all(np.isfinite(float(l.split()[1])) for l in val_lines)
+@pytest.mark.slow
 
 
 def test_two_process_augment_fit(tmp_path):
@@ -239,6 +242,7 @@ def test_two_process_augment_fit(tmp_path):
     train_lines = [l for l in log if l.strip() and not l.startswith("Val")]
     assert len(train_lines) == 2
     assert all(np.isfinite(float(l)) for l in train_lines)
+@pytest.mark.slow
 
 
 def test_two_process_device_data_matches_host_pipeline(tmp_path):
@@ -297,6 +301,7 @@ def test_two_process_device_data_matches_host_pipeline(tmp_path):
     outs = _run_pair(script, tmp_path, timeout=900)
     for out in outs:
         assert "MH_DEVICE_DATA_OK" in out
+@pytest.mark.slow
 
 
 def test_two_process_fsdp_fit_matches_dp(tmp_path):
@@ -375,6 +380,7 @@ def test_two_process_fsdp_fit_matches_dp(tmp_path):
         got, want = losses("fs", key), losses("dp", key)
         assert len(got) == len(want) == 2
         np.testing.assert_allclose(got, want, rtol=1e-3)
+@pytest.mark.slow
 
 
 def test_two_process_tp_fit_matches_dp(tmp_path):
@@ -443,6 +449,7 @@ def test_two_process_tp_fit_matches_dp(tmp_path):
         got, want = losses("tp", key), losses("dp", key)
         assert len(got) == len(want) == 2
         np.testing.assert_allclose(got, want, rtol=1e-3)
+@pytest.mark.slow
 
 
 def test_two_process_fsdp_resume_matches_uninterrupted(tmp_path):
@@ -488,6 +495,7 @@ def test_two_process_fsdp_resume_matches_uninterrupted(tmp_path):
     for out in outs:
         assert "MH_FSDP_RESUME_OK" in out
         assert "Loaded checkpoint" in out  # both hosts resumed, not restarted
+@pytest.mark.slow
 
 
 def test_two_process_cli_multihost_flags(tmp_path):
@@ -521,6 +529,7 @@ def test_two_process_cli_multihost_flags(tmp_path):
         assert "CLI_MH_OK" in out
         assert "multi-host: process" in out
     assert os.path.exists(str(tmp_path / "CKPT" / "svs_cli.ckpt"))
+@pytest.mark.slow
 
 
 def test_two_process_cp_fit_matches_single_host(tmp_path):
@@ -580,6 +589,7 @@ def test_two_process_cp_fit_matches_single_host(tmp_path):
         # compare the exact-layout pins in test_halo.py at ~1e-9 in f64)
         np.testing.assert_allclose(got, want, rtol=3e-4)
     assert os.path.exists(str(tmp_path / "CKPT_cpm" / "svs_cpm.ckpt"))
+@pytest.mark.slow
 
 
 def test_two_process_kill_one_lockstep_exit(tmp_path):
@@ -640,6 +650,7 @@ def test_two_process_kill_one_lockstep_exit(tmp_path):
             f"host rc={p.returncode}, wanted 143 (coordinated stop)\n{out}"
     # the primary saved a resumable checkpoint on the way out
     assert os.path.exists(str(tmp_path / "CKPT" / "svs_kill.ckpt"))
+@pytest.mark.slow
 
 
 def test_two_process_resume_desync_broadcast(tmp_path):
@@ -698,6 +709,7 @@ def test_two_process_resume_desync_broadcast(tmp_path):
     outs = _run_pair(script, tmp_path, timeout=300)
     for out in outs:
         assert "SYNC_RESUME_OK" in out
+@pytest.mark.slow
 
 
 def test_two_process_augment_device_data_fit(tmp_path):

@@ -146,6 +146,7 @@ def test_pp_nmicro1_is_the_single_device_step(rng, mesh):
     back = pp.gather_state(new_pp, cfg, split=3)
     _tree_close(back.params, ref_state.params, 5e-6, "params")
     _tree_close(back.bn_state, ref_state.bn_state, 1e-5, "bn")
+@pytest.mark.slow
 
 
 def test_pp_microbatched_matches_oracle(rng, mesh):
@@ -170,6 +171,7 @@ def test_pp_microbatched_matches_oracle(rng, mesh):
     back = pp.gather_state(new_pp, cfg, split=3)
     _tree_close(back.params, ref_state.params, 5e-6, "params")
     _tree_close(back.bn_state, ref_state.bn_state, 1e-5, "bn")
+@pytest.mark.slow
 
 
 def test_pp_padded_batch_with_empty_microbatch(rng, mesh):
@@ -200,6 +202,7 @@ def test_pp_padded_batch_with_empty_microbatch(rng, mesh):
     back = pp.gather_state(new_pp, cfg, split=3)
     _tree_close(back.params, ref_state.params, 5e-6, "params")
     _tree_close(back.bn_state, ref_state.bn_state, 1e-5, "bn")
+@pytest.mark.slow
 
 
 def test_fit_with_pp(tmp_path):

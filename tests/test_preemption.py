@@ -9,6 +9,7 @@ import textwrap
 import time
 
 import numpy as np
+import pytest
 
 
 def _make_spec_dataset(root, n_songs=2, t=150):
@@ -23,6 +24,7 @@ def _make_spec_dataset(root, n_songs=2, t=150):
             ang = rng.random((513, t)).astype(np.float32) * 6 - 3
             np.save(os.path.join(root, folder, f"{base}_phase.npy"),
                     np.exp(1j * ang).astype(np.complex64))
+@pytest.mark.slow
 
 
 def test_sigterm_saves_resumable_checkpoint(tmp_path):

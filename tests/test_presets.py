@@ -67,6 +67,12 @@ def test_preset_matches_reference_constants(name):
         "p1207": dict(sample_rate=44100, hop_size=768, learning_rate=1e-4),
         "default": dict(sample_rate=8192, hop_size=768, input_len=128,
                         samples_per_song=64),
+        # not a reference preset: the round-5 scale-out extension — pin the
+        # knobs its measured table relies on (8x channels on the stock
+        # geometry, accum-not-remat for the HBM fit; ROUND_NOTES r5 table)
+        "wide": dict(sample_rate=8192, hop_size=768, input_len=128,
+                     enc_channels=(128, 256, 512, 1024, 2048, 4096),
+                     remat=False),
     }[name]
     for k, v in expect.items():
         assert getattr(cfg, k) == v, (name, k)

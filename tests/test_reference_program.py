@@ -35,6 +35,7 @@ def workdir(tmp_path_factory):
     state0 = create_train_state(jax.random.key(0))
     ckpt_lib.export_pth(str(work / "init.pth"), state0, epoch=0)
     return work
+@pytest.mark.slow
 
 
 def test_train_program_trajectory(workdir):
@@ -63,6 +64,7 @@ def test_train_program_trajectory(workdir):
     for a, b in zip(ours, ref):
         assert abs(a - b) / b < 0.05, (ours, ref)
     assert ref[-1] < ref[0] and ours[-1] < ours[0]
+@pytest.mark.slow
 
 
 def test_inference_program_outputs(workdir):

@@ -110,6 +110,7 @@ def test_dp_tp_2d_mesh_matches_single_device(rng):
                                    atol=1e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("device_data", ["on", "off"])
 def test_fit_tp_end_to_end(tmp_path, rng, device_data):
     """fit(parallel='tp') trains channel-sharded end-to-end on a 2-D

@@ -156,6 +156,7 @@ def test_fit_end_to_end(tmp_path):
                             "epoch": 3})
     state2 = fit(opts2, cfg)
     assert int(state2.step) == 3  # one more epoch only
+@pytest.mark.slow
 
 
 def test_fit_val_sdr(tmp_path):
@@ -182,6 +183,7 @@ def test_fit_val_sdr(tmp_path):
     assert val[0]["sdr_songs"] == 1  # the --val_sdr_songs cap held
     for k in ("vocal_sdr", "vocal_sir", "vocal_sar", "vocal_nsdr"):
         assert np.isfinite(val[0][k])
+@pytest.mark.slow
 
 
 def test_validation_sdr_skips_silent_vocal(tmp_path):
@@ -202,6 +204,7 @@ def test_validation_sdr_skips_silent_vocal(tmp_path):
     assert len(out["per_song"]) == 1 and out["per_song"][0]["song"] == "0001_s1"
     assert len(out["skipped"]) == 1 and out["skipped"][0].startswith("0000_s0")
     assert np.isfinite(out["SDR"])
+@pytest.mark.slow
 
 
 def test_fit_with_mesh_dp(tmp_path):
@@ -242,6 +245,7 @@ def test_export_pth_loads_strict_in_torch(tmp_path):
     ckpt = torch.load(path, map_location="cpu", weights_only=True)
     # strict load raises on any missing/unexpected key
     m.load_state_dict(ckpt["model_state_dict"], strict=True)
+@pytest.mark.slow
 
 
 def test_fit_async_save_equivalent(tmp_path):
