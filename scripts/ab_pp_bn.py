@@ -21,7 +21,13 @@ tens of minutes on one core, and the only variable across arms is the BN
 semantics under test (dtype/geometry are held fixed).  Absolute SDRs are
 demo-scale; the DELTAS between arms are the measurement.
 
-Run:  python scripts/ab_pp_bn.py [workdir] [epochs]
+Run:  python scripts/ab_pp_bn.py [workdir] [epochs] [arms]
+``arms`` is a comma list from {single,pp1,pp4} (default all three).  On a
+single shared core the pp1 arm can be elided: pp1 == single is ALREADY a
+pinned invariant (tests/test_pp.py::test_pp_nmicro1_is_the_single_device_step
+shows n_micro=1 PP computes the single-device step to float tolerance), so
+the BN-semantics question is carried entirely by single-vs-pp4.  Completed
+arms are cached in <workdir>/ab_arm_<tag>.json and reused on rerun.
 Writes <workdir>/ab_pp_bn.json and prints a markdown table for ROUND_NOTES.
 """
 
@@ -46,6 +52,13 @@ from svs_tpu.utils.config import SVSConfig  # noqa: E402
 
 
 def run_arm(work, cfg, tag, epochs, **kw):
+    cache = os.path.join(work, f"ab_arm_{tag}.json")
+    if os.path.exists(cache):
+        with open(cache) as f:
+            row = json.load(f)
+        if row.get("epochs") == epochs:
+            print(f"[cached] {tag}", flush=True)
+            return row
     log = os.path.join(work, "LOG", f"log_{tag}.txt")
     if os.path.exists(log):
         os.remove(log)
@@ -62,18 +75,23 @@ def run_arm(work, cfg, tag, epochs, **kw):
     wall = time.perf_counter() - t0
     train_losses, val_losses = parse_log(log)
     per_song = eval_test_sdr(state, work, cfg)
-    return {
-        "arm": tag, "wall_s": round(wall, 1),
+    row = {
+        "arm": tag, "epochs": epochs, "wall_s": round(wall, 1),
         "loss_first": train_losses[0], "loss_last": train_losses[-1],
         "val_best": min(val_losses) if val_losses else None,
         "sdr": [r["sdr"] for r in per_song],
         "nsdr": [r["nsdr"] for r in per_song],
     }
+    with open(cache, "w") as f:
+        json.dump(row, f)
+    return row
 
 
 def main():
     work = sys.argv[1] if len(sys.argv) > 1 else "/tmp/ab_pp_bn"
     epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 40
+    arms = (sys.argv[3].split(",") if len(sys.argv) > 3
+            else ["single", "pp1", "pp4"])
 
     # CPU-sized geometry; f32 keeps CPU conv fast and removes dtype as a
     # variable.  dropout stays at the shipped default: identical seeds give
@@ -89,13 +107,12 @@ def main():
     from svs_tpu.parallel import pp as pp_lib
     mesh = pp_lib.make_pp_mesh()
 
-    rows = [
-        run_arm(work, cfg, "single", epochs),
-        run_arm(work, cfg, "pp1", epochs, mesh=mesh, parallel="pp",
-                pp_micro=1),
-        run_arm(work, cfg, "pp4", epochs, mesh=mesh, parallel="pp",
-                pp_micro=4),
-    ]
+    ARM_KW = {
+        "single": {},
+        "pp1": dict(mesh=mesh, parallel="pp", pp_micro=1),
+        "pp4": dict(mesh=mesh, parallel="pp", pp_micro=4),
+    }
+    rows = [run_arm(work, cfg, tag, epochs, **ARM_KW[tag]) for tag in arms]
     for r in rows:
         print(json.dumps(r), flush=True)
 

@@ -67,6 +67,12 @@ Semantics vs the single-device step
   fold in the microbatch index, the loss is the mean over microbatch
   losses, and BN running stats see the microbatches sequentially.  Pinned
   against a host-level microbatch-loop oracle in tests/test_pp.py.
+  Convergence cost of the divergence: measured as ~none — the round-5 A/B
+  (scripts/ab_pp_bn.py; ROUND_NOTES r5, artifacts in docs/artifacts/)
+  shows the ``n_micro=4`` trajectory tracking whole-batch training within
+  ~4% per epoch with BETTER validation loss at the matched epoch and
+  equal-or-better held-out SDR at half the epochs — per-microbatch stats
+  behave as GhostBN-style regularization here, not a quality tax.
 - does NOT compose with ``optax.MultiSteps`` accumulation (microbatching
   already is accumulation) — gated loudly.
 
