@@ -99,6 +99,7 @@ def test_cp_train_step_matches_unsharded(rng):
     assert int(state_cp.step) == 1
 
 
+@pytest.mark.slow
 def test_cp_loss_gradient_parity_f64(rng):
     """The strong proof: in float64 (where ReLU-kink chaos vanishes) the
     context-parallel loss gradients equal the unsharded gradients to ~1e-9 —

@@ -194,6 +194,7 @@ def test_remat_identical_grads(rng):
                                    atol=1e-6, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_packed_edge_convs_equivalent(rng):
     """cfg.packed_edge_convs lowers enc1 / dec6 as space-to-depth stride-1
     convs — an exact weight rearrangement (models/unet.py).
